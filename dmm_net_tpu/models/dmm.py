@@ -1,0 +1,182 @@
+"""DMM-Net: full model — backbone → pooling → cost → matching → aggregation → decoder.
+
+Rebuild of the reference's L4 model (SURVEY.md §2, §3.1 components 5-10),
+restructured for XLA:
+
+  * one jittable `__call__` per *frame* with explicit carried state
+    (template masks for the IoU term + decoder ConvGRU state) so the
+    caller can `lax.scan` over the frame axis — the TPU-native analog of
+    the reference's Python frame loop (SURVEY.md §6 "long-context" row);
+  * all object/proposal axes padded to (M_max, N_max) with validity masks;
+  * the cost+matcher step optionally runs as the fused Pallas kernel.
+
+Template semantics (paper §3.2, SURVEY.md §1.3): template *features* are
+pooled once from frame 1 and stay fixed; the template *mask* used for the
+IoU term is updated each frame with the previous frame's prediction
+(flag-switchable via `update_template_masks` at the engine level).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dmm_net_tpu.config import Config
+from dmm_net_tpu.kernels.matcher import fused_cost_match
+from dmm_net_tpu.models.decoder import RefinementDecoder
+from dmm_net_tpu.models.resnet import backbone_by_name
+from dmm_net_tpu.ops.cost import cost_matrix
+from dmm_net_tpu.ops.matching import sinkhorn_match, pgd_match
+from dmm_net_tpu.ops.roi_pool import mask_avg_pool
+
+
+class FrameState(NamedTuple):
+    """Carried across frames of one sequence."""
+
+    template_masks: jnp.ndarray   # (B, M, h, w) soft masks for the IoU term
+    decoder_state: jnp.ndarray    # (B, M, H/32, W/32, F) ConvGRU hidden
+
+
+class FrameOutput(NamedTuple):
+    logits: jnp.ndarray           # (B, M, H, W) per-object mask logits
+    assignment: jnp.ndarray       # (B, M, N) soft assignment X
+    agg_masks: jnp.ndarray        # (B, M, H, W) matcher-aggregated masks
+
+
+class DMMNet(nn.Module):
+    """Differentiable Mask-Matching network (one frame step)."""
+
+    config: Config
+
+    def setup(self):
+        cfg = self.config
+        self.backbone = backbone_by_name(
+            cfg.model.backbone,
+            dtype=jnp.bfloat16 if cfg.model.backbone_dtype == "bfloat16"
+            else jnp.float32)
+        self.feat_proj = nn.Conv(cfg.model.feature_dim, (1, 1), name="feat_proj",
+                                 dtype=jnp.float32, param_dtype=jnp.float32)
+        self.decoder = RefinementDecoder(
+            features=cfg.model.decoder_dim,
+            recurrent=cfg.model.decoder_recurrent)
+
+    def extract_features(self, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to
+        the matching feature space as key 'emb' (stride 16)."""
+        feats = self.backbone(frames)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        feats["emb"] = self.feat_proj(feats["c4"])
+        return feats
+
+    def pool_mask_features(self, feats: Dict[str, jnp.ndarray],
+                           masks: jnp.ndarray) -> jnp.ndarray:
+        """masks (B, K, h, w) -> (B, K, D) pooled embedding vectors."""
+        return mask_avg_pool(feats["emb"], masks)
+
+    def match_step(self, tmpl_masks, prop_masks, tmpl_feats, prop_feats,
+                   row_mask, col_mask):
+        """Cost + matching on downsampled masks. Shapes:
+        tmpl_masks (B, M, h, w), prop_masks (B, N, h, w), feats (B, K, D).
+        Returns X (B, M, N)."""
+        cfg = self.config
+        mh, mw = cfg.cost.mask_size
+        B, M = tmpl_masks.shape[:2]
+        N = prop_masks.shape[1]
+
+        def flat(m):
+            m = jax.image.resize(m, m.shape[:2] + (mh, mw), method="bilinear")
+            return m.reshape(m.shape[0], m.shape[1], mh * mw)
+
+        tm, pm = flat(tmpl_masks), flat(prop_masks)
+        if cfg.matching.use_pallas:
+            return fused_cost_match(
+                tm, pm, tmpl_feats, prop_feats, row_mask, col_mask,
+                epsilon=cfg.matching.epsilon, iters=cfg.matching.sinkhorn_iters,
+                iou_weight=cfg.cost.iou_weight)
+        C = cost_matrix(tm, pm, tmpl_feats, prop_feats,
+                        row_mask=row_mask, col_mask=col_mask,
+                        iou_weight=cfg.cost.iou_weight)
+        if cfg.matching.solver == "pgd":
+            return pgd_match(C, row_mask, col_mask,
+                             step=cfg.matching.pgd_step,
+                             pgd_iters=cfg.matching.pgd_iters,
+                             dykstra_iters=cfg.matching.dykstra_iters)
+        return sinkhorn_match(C, row_mask, col_mask,
+                              epsilon=cfg.matching.epsilon,
+                              iters=cfg.matching.sinkhorn_iters,
+                              implicit_grad=cfg.matching.implicit_grad)
+
+    @staticmethod
+    def aggregate(X: jnp.ndarray, prop_masks: jnp.ndarray,
+                  row_mask: jnp.ndarray) -> jnp.ndarray:
+        """Soft aggregation (component #9): M̂_i = Σ_j X_ij · mask_j.
+
+        X (B, M, N), prop_masks (B, N, H, W) -> (B, M, H, W)."""
+        agg = jnp.einsum("bmn,bnhw->bmhw", X, prop_masks.astype(jnp.float32))
+        return jnp.where(row_mask[..., None, None], agg, 0.0)
+
+    def __call__(self, frame: jnp.ndarray,
+                 prop_masks: jnp.ndarray, prop_valid: jnp.ndarray,
+                 tmpl_feats: jnp.ndarray, tmpl_valid: jnp.ndarray,
+                 state: FrameState) -> Tuple[FrameOutput, FrameState]:
+        """One frame step.
+
+        frame (B, H, W, 3) normalized RGB; prop_masks (B, N, H, W) in [0,1];
+        prop_valid (B, N) bool; tmpl_feats (B, M, D) fixed frame-1 features;
+        tmpl_valid (B, M) bool; state carries template masks + decoder state.
+        """
+        feats = self.extract_features(frame)
+        prop_feats = self.pool_mask_features(feats, prop_masks)
+        X = self.match_step(state.template_masks, prop_masks,
+                            tmpl_feats, prop_feats, tmpl_valid, prop_valid)
+        agg = self.aggregate(X, prop_masks, tmpl_valid)
+        logits, dec_state = self.decoder(feats, agg, state.decoder_state)
+        logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
+        out = FrameOutput(logits=logits, assignment=X, agg_masks=agg)
+        if self.config.model.template_update == "aggregation":
+            new_templates = jnp.clip(agg, 0.0, 1.0)
+        else:
+            new_templates = jax.nn.sigmoid(logits)
+        new_state = FrameState(template_masks=new_templates,
+                               decoder_state=dec_state)
+        return out, new_state
+
+    # ------------------------------------------------------------------
+    # convenience: initial state from frame-1 ground-truth templates
+    # ------------------------------------------------------------------
+    def init_state(self, tmpl_masks: jnp.ndarray) -> FrameState:
+        cfg = self.config
+        B, M, H, W = tmpl_masks.shape
+        f = cfg.model.decoder_dim
+        h32, w32 = H // 32, W // 32
+        dec = jnp.zeros((B, M, h32, w32, f), jnp.float32)
+        return FrameState(template_masks=tmpl_masks.astype(jnp.float32),
+                          decoder_state=dec)
+
+
+def forward_clip(model: DMMNet, params, frames, prop_masks, prop_valid,
+                 tmpl_masks, tmpl_feats, tmpl_valid,
+                 update_templates: bool = True):
+    """Scan the per-frame step over a clip.
+
+    frames (B, T, H, W, 3); prop_masks (B, T, N, H, W); prop_valid (B, T, N);
+    tmpl_* from frame 1. Returns FrameOutput stacked over T (time-major
+    inside, transposed back to batch-major).
+    """
+    state0 = model.apply(params, tmpl_masks, method=DMMNet.init_state)
+
+    def step(state, inputs):
+        frame, pmask, pvalid = inputs
+        out, new_state = model.apply(params, frame, pmask, pvalid,
+                                     tmpl_feats, tmpl_valid, state)
+        if not update_templates:
+            new_state = new_state._replace(template_masks=state.template_masks)
+        return new_state, out
+
+    xs = (jnp.moveaxis(frames, 1, 0), jnp.moveaxis(prop_masks, 1, 0),
+          jnp.moveaxis(prop_valid, 1, 0))
+    _, outs = jax.lax.scan(step, state0, xs)
+    return jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)

@@ -1,0 +1,135 @@
+"""flax ResNet backbone with multi-scale skip taps.
+
+TPU-native rebuild of the reference's feature extractor (SURVEY.md §3.1
+component #5: ResNet-50, ImageNet-pretrained, RVOS-lineage `base.py`).
+Differences from a torch translation, by design:
+
+  * NHWC layout (TPU conv layout; torch is NCHW) — the weight importer
+    (tools/import_torch_weights.py) transposes kernels HWIO<-OIHW.
+  * bfloat16 compute / float32 params by default: convs hit the MXU in
+    bf16, batch-norm statistics stay fp32.
+  * Returns a pyramid dict {"c1": /2, "c2": /4, "c3": /8, "c4": /16,
+    "c5": /32} for the refinement decoder's skip connections.
+  * BatchNorm runs in inference mode (frozen running stats) unless
+    `train_bn=True`; the reference fine-tunes with frozen BN in the
+    backbone, standard for detection-lineage models.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet-v1 bottleneck: 1x1 -> 3x3 -> 1x1 with residual."""
+
+    filters: int
+    strides: Tuple[int, int]
+    conv: ModuleDef
+    norm: ModuleDef
+    act: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = self.act(y)
+        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.norm()(y)
+        y = self.act(y)
+        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * 4, (1, 1), self.strides,
+                                 name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return self.act(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """ResNet-v1 basic block (for ResNet-18/34 test-scale backbones)."""
+
+    filters: int
+    strides: Tuple[int, int]
+    conv: ModuleDef
+    norm: ModuleDef
+    act: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.norm()(y)
+        y = self.act(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1), self.strides,
+                                 name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return self.act(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet backbone returning the {c1..c5} feature pyramid.
+
+    stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-50.
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef = BottleneckBlock
+    num_filters: int = 64
+    dtype: Any = jnp.bfloat16
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        norm = partial(nn.BatchNorm, use_running_average=not self.train_bn,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        act = nn.relu
+
+        x = x.astype(self.dtype)
+        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                 name="conv_init")(x)
+        x = norm(name="bn_init")(x)
+        x = act(x)
+        feats = {"c1": x}                                   # stride 2
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_count in enumerate(self.stage_sizes):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = self.block_cls(self.num_filters * 2 ** i, strides=strides,
+                                   conv=conv, norm=norm, act=act)(x)
+            feats[f"c{i + 2}"] = x                          # strides 4,8,16,32
+        return feats
+
+
+ResNet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock)
+ResNet34 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock)
+ResNet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BottleneckBlock)
+ResNet101 = partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=BottleneckBlock)
+
+
+def backbone_by_name(name: str, **kw) -> nn.Module:
+    table = {"resnet18": ResNet18, "resnet34": ResNet34,
+             "resnet50": ResNet50, "resnet101": ResNet101}
+    if name not in table:
+        raise KeyError(f"unknown backbone {name!r}; have {sorted(table)}")
+    return table[name](**kw)
+
+
+def feature_dims(name: str) -> dict:
+    """Channel count of each pyramid level for a given backbone."""
+    expansion = 1 if name in ("resnet18", "resnet34") else 4
+    return {"c1": 64, "c2": 64 * expansion, "c3": 128 * expansion,
+            "c4": 256 * expansion, "c5": 512 * expansion}

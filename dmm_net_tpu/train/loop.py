@@ -1,0 +1,164 @@
+"""Jit'd training step + loop (SURVEY.md §4.1 rebuilt for XLA).
+
+One `train_step` = one optimizer update on a batch of clips:
+`lax.scan` over the frame axis inside the jitted step (no Python frame
+loop), loss on all frames, grads through the unrolled matcher into the
+backbone. The step is jit-compiled with explicit input shardings: batch
+axis on the mesh "data" axis, params replicated — XLA SPMD emits the
+gradient all-reduce over ICI (the NCCL-DataParallel equivalent,
+SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh
+
+from dmm_net_tpu.config import Config
+from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from dmm_net_tpu.train.losses import clip_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.train.lr,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.total_steps, cfg.train.warmup_steps + 1))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=cfg.train.weight_decay))
+    if cfg.train.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.train.grad_accum)
+    return tx
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       sample_batch: dict) -> TrainState:
+    """Initialize params from one (host) sample batch."""
+    model = DMMNet(cfg)
+    frames = sample_batch["frames"]
+    B, T, H, W, _ = frames.shape
+    M = sample_batch["tmpl_masks"].shape[1]
+    state0 = FrameState(
+        template_masks=jnp.zeros((B, M, H, W), jnp.float32),
+        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
+                                 cfg.model.decoder_dim), jnp.float32))
+    variables = model.init(
+        rng, frames[:, 0], sample_batch["prop_masks"][:, 0],
+        sample_batch["prop_valid"][:, 0],
+        jnp.zeros((B, M, cfg.model.feature_dim), jnp.float32),
+        sample_batch["tmpl_valid"], state0)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      tx=tx, apply_fn=model.apply)
+
+
+def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
+    """Forward a clip batch; returns (loss, logits).
+
+    batch: frames (B,T,H,W,3), prop_masks (B,T,N,H,W), prop_valid (B,T,N),
+    tmpl_masks (B,M,H,W), tmpl_valid (B,M), gt_masks (B,T,M,H,W)."""
+    frames = batch["frames"]
+    B, T = frames.shape[:2]
+    M = batch["tmpl_masks"].shape[1]
+
+    # template features from frame 1 (fixed for the clip)
+    feats1 = model.apply(variables, frames[:, 0], method=DMMNet.extract_features)
+    tmpl_feats = model.apply(variables, feats1, batch["tmpl_masks"],
+                             method=DMMNet.pool_mask_features)
+
+    state = model.apply(variables, batch["tmpl_masks"], method=DMMNet.init_state)
+
+    def step(carry, xs):
+        st = carry
+        frame, pmask, pvalid = xs
+        out, new_st = model.apply(variables, frame, pmask, pvalid,
+                                  tmpl_feats, batch["tmpl_valid"], st)
+        return new_st, out.logits
+
+    xs = (jnp.moveaxis(frames, 1, 0),
+          jnp.moveaxis(batch["prop_masks"], 1, 0),
+          jnp.moveaxis(batch["prop_valid"], 1, 0))
+    _, logits_t = jax.lax.scan(step, state, xs)
+    logits = jnp.moveaxis(logits_t, 0, 1)                 # (B, T, M, H, W)
+    loss = clip_loss(logits, batch["gt_masks"], batch["tmpl_valid"],
+                     bce_weight=cfg.train.loss_bce_weight,
+                     iou_weight=cfg.train.loss_iou_weight)
+    return loss, logits
+
+
+def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """Build the jitted train step. With a mesh, inputs are sharded batch-
+    on-"data" and state replicated (donated for in-place update)."""
+    model = DMMNet(cfg)
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, logits = _clip_forward(model, variables, batch, cfg)
+            return loss, logits
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
+
+
+def train_loop(cfg: Config, state: TrainState, batches: Iterable[dict],
+               mesh: Optional[Mesh] = None, log_every: int = 10,
+               writer=None, checkpointer=None):
+    """Host-side loop: stage batches to device, step, log, checkpoint."""
+    step_fn = make_train_step(cfg, mesh)
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        if mesh is not None:
+            from dmm_net_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = log_every / (time.time() - t0)
+            t0 = time.time()
+            if writer is not None:
+                writer.write(int(state.step), m)
+            else:
+                print(f"step {int(state.step)}: {m}")
+        if checkpointer is not None and (i + 1) % cfg.train.checkpoint_every == 0:
+            checkpointer.save(state)
+    return state

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Inference + evaluation CLI (reference test.py equivalent, SURVEY.md §3.1 #12/#13).
+
+Usage:
+  python infer.py --preset p3_multi_object --davis-root /data/DAVIS \
+                  [--ckpt runs/x/ckpt] [--out results/p3] [--sequences bike-packing]
+
+Runs per-sequence streaming inference over DAVIS val, writes palette PNGs
+and a results JSON with J, F, J&F per sequence and overall — the exact
+fields of the driver metric (BASELINE.json:2).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="p3_multi_object")
+    ap.add_argument("--davis-root", default="/root/data/DAVIS")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--proposal-dir", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out", default="results/default")
+    ap.add_argument("--sequences", nargs="*", default=None)
+    ap.add_argument("--no-eval", action="store_true")
+    args = ap.parse_args()
+
+    from dmm_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmm_net_tpu.config import preset
+    from dmm_net_tpu.data.davis import DavisDataset
+    from dmm_net_tpu.data.pipeline import RingStager
+    from dmm_net_tpu.eval.davis_jf import evaluate_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.utils.logging import get_logger
+
+    log = get_logger("infer")
+    cfg = preset(args.preset)
+    ds = DavisDataset(args.davis_root, split=args.split,
+                      image_size=cfg.model.image_size,
+                      proposal_dir=args.proposal_dir,
+                      max_objects=cfg.matching.max_templates,
+                      max_proposals=cfg.matching.max_proposals)
+    seqs = args.sequences or ds.sequences
+    if not seqs:
+        raise SystemExit(f"no sequences found under {args.davis_root}")
+
+    model = DMMNet(cfg)
+    H, W = cfg.model.image_size
+    M = cfg.matching.max_templates
+    N = cfg.matching.max_proposals
+
+    # init or load variables
+    rng = np.random.RandomState(0)
+    state0 = FrameState(
+        template_masks=jnp.zeros((1, M, H, W), jnp.float32),
+        decoder_state=jnp.zeros((1, M, H // 32, W // 32, cfg.model.decoder_dim)))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)),
+                           jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),
+                           jnp.zeros((1, M, cfg.model.feature_dim)),
+                           jnp.ones((1, M), bool), state0)
+    if args.ckpt:
+        from dmm_net_tpu.train.loop import create_train_state  # noqa: F401
+        from dmm_net_tpu.utils.checkpoint import Checkpointer
+        import orbax.checkpoint as ocp
+        ckpt = Checkpointer(args.ckpt)
+        step = ckpt.latest_step()
+        target = {"state": {"params": jax.tree.map(
+            ocp.utils.to_shape_dtype_struct, variables["params"])}}
+        # restore params only (inference needs no optimizer state)
+        restored = ckpt.manager.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(target["state"])))
+        variables = {**variables, "params": restored["state"]["params"]}
+        log.info("loaded params from %s step %s", args.ckpt, step)
+
+    engine = InferenceEngine(cfg, model=model, variables=variables)
+
+    from dmm_net_tpu.data.pipeline import normalize_frames  # noqa: F401
+    results = {}
+    total_frames = 0
+    t_start = time.time()
+    for seq_name in seqs:
+        sd = ds.sequence_stream(seq_name)
+        stream = RingStager(sd["frames"], depth=2)
+        res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
+                                  sd["tmpl_valid"], sd["first_frame"])
+        labels = res["labels"][:, 0]
+        total_frames += labels.shape[0]
+        seq_out = os.path.join(args.out, seq_name)
+        for t in range(labels.shape[0]):
+            engine.write_png(labels[t], os.path.join(seq_out, f"{t:05d}.png"))
+        if not args.no_eval:
+            gt = np.stack([ds.load_annotation(p) for p in sd["annotations"]])
+            # remap GT ids to template slots 1..K
+            remap = np.zeros(256, np.int32)
+            for i, oid in enumerate(sd["object_ids"]):
+                remap[oid] = i + 1
+            gt_mapped = remap[gt]
+            r = evaluate_sequence(gt_mapped, labels[:gt_mapped.shape[0]],
+                                  object_ids=list(
+                                      range(1, len(sd["object_ids"]) + 1)))
+            results[seq_name] = {k: r[k] for k in ("J", "F", "J&F")}
+            log.info("%s: J&F=%.3f", seq_name, r["J&F"])
+    dt = time.time() - t_start
+    summary = {
+        "sequences": results,
+        "J": float(np.mean([r["J"] for r in results.values()])) if results else None,
+        "F": float(np.mean([r["F"] for r in results.values()])) if results else None,
+        "J&F": float(np.mean([r["J&F"] for r in results.values()])) if results else None,
+        "fps": total_frames / dt,
+        "frames": total_frames,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    log.info("overall: %s", {k: v for k, v in summary.items() if k != "sequences"})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Tests for the DAVIS J&F scorer (bit-faithfulness properties)."""
+
+import numpy as np
+
+from dmm_net_tpu.eval.davis_jf import (
+    db_eval_boundary,
+    db_eval_iou,
+    evaluate_sequence,
+)
+
+
+def _square(H, W, y0, x0, s):
+    m = np.zeros((H, W), bool)
+    m[y0:y0 + s, x0:x0 + s] = True
+    return m
+
+
+def test_iou_exact_values():
+    a = _square(32, 32, 4, 4, 10)
+    assert db_eval_iou(a, a) == 1.0
+    b = _square(32, 32, 4, 9, 10)  # half-overlap in x
+    # inter = 10*5, union = 10*15
+    assert abs(db_eval_iou(a, b) - (50 / 150)) < 1e-9
+    assert db_eval_iou(a, np.zeros((32, 32), bool)) == 0.0
+    assert db_eval_iou(np.zeros((32, 32), bool), np.zeros((32, 32), bool)) == 1.0
+
+
+def test_boundary_perfect_and_disjoint():
+    a = _square(64, 64, 10, 10, 20)
+    assert db_eval_boundary(a, a) == 1.0
+    far = _square(64, 64, 40, 40, 10)
+    assert db_eval_boundary(a, far) < 0.2
+
+
+def test_boundary_tolerates_small_shift():
+    a = _square(256, 256, 50, 50, 100)
+    shifted = _square(256, 256, 51, 50, 100)  # 1px shift << tolerance
+    assert db_eval_boundary(a, shifted) > 0.95
+
+
+def test_evaluate_sequence_label_maps():
+    T, H, W = 4, 64, 64
+    gt = np.zeros((T, H, W), np.int32)
+    for t in range(T):
+        gt[t, 10 + t:30 + t, 10:30] = 1
+        gt[t, 40:55, 40 + t:55 + t] = 2
+    res = evaluate_sequence(gt, gt)
+    assert res["J"] == 1.0 and res["F"] == 1.0 and res["J&F"] == 1.0
+    assert res["object_ids"] == [1, 2]
+
+    # degrade object 2 completely
+    pred = gt.copy()
+    pred[pred == 2] = 0
+    res2 = evaluate_sequence(gt, pred)
+    assert res2["J_per_object"][0] == 1.0
+    assert res2["J_per_object"][1] == 0.0
+    assert 0.4 < res2["J&F"] < 0.6
+
+
+def test_first_last_frame_exclusion():
+    T, H, W = 3, 32, 32
+    gt = np.zeros((T, H, W), np.int32)
+    gt[:, 5:15, 5:15] = 1
+    pred = gt.copy()
+    pred[0] = 0   # ruin first frame: excluded by protocol
+    pred[2] = 0   # ruin last frame: excluded
+    res = evaluate_sequence(gt, pred)
+    assert res["J"] == 1.0

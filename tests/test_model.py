@@ -1,0 +1,86 @@
+"""Model smoke + integration tests: backbone pyramid, frame step, clip scan,
+and a short training run on synthetic data (loss must drop)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmm_net_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig, TrainConfig
+from dmm_net_tpu.data.synthetic import synthetic_clip_batch
+from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.models.resnet import backbone_by_name, feature_dims
+from dmm_net_tpu.train.loop import create_train_state, make_train_step
+
+
+def tiny_config():
+    return Config(
+        name="test_tiny",
+        model=ModelConfig(backbone="resnet18", backbone_dtype="float32",
+                          feature_dim=32, decoder_dim=16,
+                          image_size=(64, 64)),
+        matching=MatchingConfig(max_templates=4, max_proposals=8,
+                                sinkhorn_iters=10),
+        data=DataConfig(dataset="synthetic", batch_size=2, clip_length=3),
+        train=TrainConfig(lr=1e-3, warmup_steps=2, total_steps=50,
+                          loss_iou_weight=0.5),
+    )
+
+
+def _batch(cfg, seed=0):
+    return {k: jnp.asarray(v) for k, v in synthetic_clip_batch(
+        seed=seed, batch=2, T=3, H=64, W=64, num_objects=2,
+        num_proposals=cfg.matching.max_proposals,
+        pad_objects=cfg.matching.max_templates).items()}
+
+
+def test_backbone_pyramid_shapes():
+    model = backbone_by_name("resnet18", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(vars_, x)
+    dims = feature_dims("resnet18")
+    for lvl, stride in [("c1", 2), ("c2", 4), ("c3", 8), ("c4", 16), ("c5", 32)]:
+        assert feats[lvl].shape == (1, 64 // stride, 64 // stride, dims[lvl]), lvl
+
+
+def test_frame_step_shapes_and_finiteness():
+    cfg = tiny_config()
+    model = DMMNet(cfg)
+    batch = _batch(cfg)
+    B, T, H, W, _ = batch["frames"].shape
+    M = cfg.matching.max_templates
+    N = cfg.matching.max_proposals
+    state0 = FrameState(
+        template_masks=batch["tmpl_masks"],
+        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
+                                 cfg.model.decoder_dim)))
+    variables = model.init(jax.random.PRNGKey(0), batch["frames"][:, 0],
+                           batch["prop_masks"][:, 0], batch["prop_valid"][:, 0],
+                           jnp.zeros((B, M, cfg.model.feature_dim)),
+                           batch["tmpl_valid"], state0)
+    out, new_state = model.apply(variables, batch["frames"][:, 0],
+                                 batch["prop_masks"][:, 0],
+                                 batch["prop_valid"][:, 0],
+                                 jnp.zeros((B, M, cfg.model.feature_dim)),
+                                 batch["tmpl_valid"], state0)
+    assert out.logits.shape == (B, M, H, W)
+    assert out.assignment.shape == (B, M, N)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    X = np.asarray(out.assignment)
+    valid = np.asarray(batch["tmpl_valid"])
+    np.testing.assert_allclose(X.sum(-1)[valid], 1.0, atol=5e-2)
+    assert (X.sum(-1)[~valid] < 1e-6).all()
+    assert new_state.template_masks.shape == (B, M, H, W)
+
+
+def test_training_loss_decreases():
+    cfg = tiny_config()
+    batch = _batch(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,75 @@
+"""Multi-device (fake 8-CPU mesh) tests: sharded train step == single-device
+step; mesh helpers (SURVEY.md §5.2(6))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmm_net_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig, TrainConfig
+from dmm_net_tpu.data.synthetic import synthetic_clip_batch
+from dmm_net_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from dmm_net_tpu.train.loop import create_train_state, make_train_step
+
+
+def _cfg():
+    return Config(
+        name="test_parallel",
+        model=ModelConfig(backbone="resnet18", backbone_dtype="float32",
+                          feature_dim=16, decoder_dim=8, image_size=(64, 64)),
+        matching=MatchingConfig(max_templates=4, max_proposals=8,
+                                sinkhorn_iters=5),
+        data=DataConfig(batch_size=8, clip_length=2),
+        train=TrainConfig(lr=1e-3, warmup_steps=1, total_steps=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def devices():
+    ds = jax.devices()
+    if len(ds) < 8:
+        pytest.skip("needs 8 fake CPU devices")
+    return ds
+
+
+def test_make_mesh_shapes(devices):
+    mesh = make_mesh(data=8, model=1)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_step_matches_single_device(devices):
+    cfg = _cfg()
+    batch = {k: np.asarray(v) for k, v in synthetic_clip_batch(
+        seed=0, batch=8, T=2, H=64, W=64, num_objects=2,
+        num_proposals=cfg.matching.max_proposals,
+        pad_objects=cfg.matching.max_templates).items()}
+
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state_b = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                           state_a)
+
+    single = make_train_step(cfg, mesh=None)
+    sa, ma = single(state_a, jax.tree.map(jnp.asarray, batch))
+
+    mesh = make_mesh(data=8, model=1)
+    sharded_step = make_train_step(cfg, mesh=mesh)
+    sb, mb = sharded_step(state_b, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    # parameters after update must agree
+    la = jax.tree.leaves(sa.params)
+    lb = jax.tree.leaves(sb.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_batch_sharding_places_shards(devices):
+    mesh = make_mesh(data=8, model=1)
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    y = jax.device_put(x, batch_sharding(mesh))
+    assert len(y.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(y), x)

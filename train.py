@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Training CLI (reference train.py equivalent, SURVEY.md §3.1 #1).
+
+Usage:
+  python train.py --preset p5_train [--set train.lr=3e-4 data.dataset=synthetic]
+                  [--steps 1000] [--resume] [--logdir runs/x]
+
+Builds the dataset stream, initializes or resumes TrainState, runs the
+jit'd data-parallel train loop with orbax checkpoints + jsonl metrics.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, v = p.split("=", 1)
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        if v in ("true", "True"):
+            v = True
+        elif v in ("false", "False"):
+            v = False
+        out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="p5_train")
+    ap.add_argument("--set", nargs="*", default=[],
+                    help="dot-path overrides, e.g. train.lr=3e-4")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--logdir", default="runs/default")
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="devices on the data axis (0 = all)")
+    args = ap.parse_args()
+
+    from dmm_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+
+    from dmm_net_tpu.config import preset
+    from dmm_net_tpu.data.synthetic import synthetic_clip_batch
+    from dmm_net_tpu.parallel.mesh import make_mesh
+    from dmm_net_tpu.train.loop import create_train_state, train_loop
+    from dmm_net_tpu.utils.checkpoint import Checkpointer
+    from dmm_net_tpu.utils.logging import MetricsWriter, get_logger
+
+    log = get_logger("train")
+    cfg = preset(args.preset).override(**parse_overrides(args.set))
+    steps = args.steps or cfg.train.total_steps
+    log.info("config %s, %d steps, devices=%s", cfg.name, steps, jax.devices())
+
+    n_data = args.data_parallel or len(jax.devices())
+    mesh = make_mesh(data=n_data) if n_data > 1 else None
+
+    H, W = cfg.model.image_size
+    if cfg.data.dataset == "synthetic":
+        def batches():
+            i = 0
+            while i < steps:
+                yield {k: np.asarray(v) for k, v in synthetic_clip_batch(
+                    seed=i, batch=cfg.data.batch_size, T=cfg.data.clip_length,
+                    H=H, W=W, num_objects=2,
+                    num_proposals=cfg.matching.max_proposals,
+                    pad_objects=cfg.matching.max_templates).items()}
+                i += 1
+        stream = batches()
+        sample = next(iter(batches()))
+    elif cfg.data.dataset == "davis":
+        from dmm_net_tpu.data.davis import DavisDataset
+        ds = DavisDataset(cfg.data.root, split="train",
+                          image_size=cfg.model.image_size,
+                          max_objects=cfg.matching.max_templates,
+                          max_proposals=cfg.matching.max_proposals)
+        if not ds.sequences:
+            raise SystemExit(f"no DAVIS data under {cfg.data.root}")
+        gen = ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length)
+        import itertools
+        stream = itertools.islice(gen, steps)
+        sample = next(ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length))
+    else:
+        raise SystemExit(f"dataset {cfg.data.dataset} not wired for training yet")
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed), sample)
+    ckpt = Checkpointer(os.path.join(args.logdir, "ckpt"))
+    if args.resume:
+        state = ckpt.restore(state)
+        log.info("resumed at step %d", int(state.step))
+    writer = MetricsWriter(args.logdir)
+
+    from dmm_net_tpu.data.pipeline import Prefetcher
+    from dmm_net_tpu.parallel.mesh import batch_sharding
+    staged = Prefetcher(stream, lambda b: b, depth=cfg.data.prefetch_depth,
+                        sharding=batch_sharding(mesh) if mesh else None)
+
+    state = train_loop(cfg, state, staged, mesh=mesh, writer=writer,
+                       checkpointer=ckpt)
+    ckpt.save(state)
+    ckpt.wait()
+    log.info("done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    main()
