@@ -174,3 +174,206 @@ def fused_cost_match(tmpl_masks: jnp.ndarray, prop_masks: jnp.ndarray,
     X = _pallas_forward(tm, pm, tf, pf, rm, cm, epsilon=epsilon, iters=iters,
                         iou_weight=iou_weight, interpret=interpret)
     return X[:, :M, :N]
+
+
+# ---------------------------------------------------------------------------
+# Deeper fusion: feature-map pooling + cost + Sinkhorn in one kernel
+# (north star BASELINE.json:5 — "ROI mask-feature pooling, cost matrix and
+# matching all run as fused Pallas kernels").
+# ---------------------------------------------------------------------------
+
+def _pool_matcher_kernel(emb_ref, pmask_pool_ref, tm_ref, pm_ref, tf_ref,
+                         rm_ref, cm_ref, x_ref,
+                         *, epsilon: float, iters: int, iou_weight: float):
+    """Block shapes (leading batch dim 1):
+      emb        (1, P, D)   flattened embedding map (P = h*w pixels)
+      pmask_pool (1, N, P)   proposal masks at embedding resolution
+      tm         (1, M, Pc)  template masks at cost resolution
+      pm         (1, N, Pc)  proposal masks at cost resolution
+      tf         (1, M, D)   fixed template features (pooled at frame 1)
+      rm (1, M)  cm (1, N)   validity (f32 0/1)
+      -> x (1, M, N)
+    """
+    emb = emb_ref[0]
+    pmask = pmask_pool_ref[0]
+    tm = tm_ref[0]
+    pm = pm_ref[0]
+    tf = tf_ref[0]
+    rm = rm_ref[0, :]
+    cm = cm_ref[0, :]
+
+    # ---- in-kernel mask-average pooling: (N, P) @ (P, D) on the MXU ----
+    pooled = jax.lax.dot_general(pmask, emb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    denom = jnp.maximum(jnp.sum(pmask, axis=1, keepdims=True), 1e-6)
+    pf = pooled / denom
+
+    # ---- cost matrix ----
+    inter = jax.lax.dot_general(tm, pm, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    area_t = jnp.sum(tm, axis=1, keepdims=True)
+    area_p = jnp.sum(pm, axis=1, keepdims=True).T
+    union = jnp.maximum(area_t + area_p - inter, 1e-6)
+    iou = inter / union
+
+    tnorm = tf * jax.lax.rsqrt(jnp.sum(tf * tf, axis=1, keepdims=True) + 1e-12)
+    pnorm = pf * jax.lax.rsqrt(jnp.sum(pf * pf, axis=1, keepdims=True) + 1e-12)
+    cos = jax.lax.dot_general(tnorm, pnorm, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    C = iou_weight * (1.0 - iou) + (1.0 - iou_weight) * (1.0 - cos)
+
+    # ---- Sinkhorn (identical recursion to _matcher_kernel) ----
+    pair = (rm[:, None] * cm[None, :]) > 0.5
+    negC = jnp.where(pair, -C / epsilon, _NEG)
+
+    def lse_rows(z):
+        zm = jnp.where(pair, z, _NEG)
+        mx = jnp.maximum(jnp.max(zm, axis=1, keepdims=True), _NEG / 2)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=1,
+                    keepdims=True)
+        return mx + jnp.log(jnp.maximum(s, 1e-38))
+
+    def lse_cols(z):
+        zm = jnp.where(pair, z, _NEG)
+        mx = jnp.maximum(jnp.max(zm, axis=0, keepdims=True), _NEG / 2)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=0,
+                    keepdims=True)
+        return mx + jnp.log(jnp.maximum(s, 1e-38))
+
+    def body(_, g):
+        f = -epsilon * lse_rows(negC + g / epsilon)
+        f = jnp.where(rm[:, None] > 0.5, f, 0.0)
+        g2 = jnp.minimum(0.0, -epsilon * lse_cols(negC + f / epsilon))
+        return jnp.where(cm[None, :] > 0.5, g2, 0.0)
+
+    g = jax.lax.fori_loop(0, iters, body,
+                          jnp.zeros((1, C.shape[1]), jnp.float32))
+    f = -epsilon * lse_rows(negC + g / epsilon)
+    f = jnp.where(rm[:, None] > 0.5, f, 0.0)
+    logits = (f + g - C) / epsilon
+    x_ref[0] = jnp.where(pair, jnp.exp(jnp.minimum(logits, 30.0)), 0.0)
+
+
+def _pool_cost_match_reference(emb, pmask_pool, tm, pm, tf, rm, cm,
+                               epsilon, iters, iou_weight):
+    """Pure-jnp reference of the fused kernel (used for the backward pass
+    and for parity tests). Shapes as in fused_pool_cost_match."""
+    from dmm_net_tpu.ops.cost import cost_matrix
+    from dmm_net_tpu.ops.matching import sinkhorn_match
+
+    rm_b = rm > 0.5 if rm.dtype != jnp.bool_ else rm
+    cm_b = cm > 0.5 if cm.dtype != jnp.bool_ else cm
+    pooled = jnp.einsum("bnp,bpd->bnd", pmask_pool, emb,
+                        precision=jax.lax.Precision.HIGHEST)
+    denom = jnp.maximum(jnp.sum(pmask_pool, axis=-1, keepdims=True), 1e-6)
+    pf = pooled / denom
+    C = cost_matrix(tm, pm, tf, pf, row_mask=rm_b, col_mask=cm_b,
+                    iou_weight=iou_weight)
+    return sinkhorn_match(C, rm_b, cm_b, epsilon=epsilon, iters=iters)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10))
+def _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
+                           epsilon, iters, iou_weight, interpret):
+    B, P, D = emb.shape
+    N = pmask_pool.shape[1]
+    M = tm.shape[1]
+    Pc = tm.shape[2]
+    kern = functools.partial(_pool_matcher_kernel, epsilon=epsilon,
+                             iters=iters, iou_weight=iou_weight)
+
+    def im3(i):
+        return (i, 0, 0)
+
+    def im2(i):
+        return (i, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P, D), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, P), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, Pc), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Pc), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), im2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), im2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, N), im3, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(emb, pmask_pool, tm, pm, tf, rm, cm)
+
+
+def _fpcm_fwd(emb, pmask_pool, tm, pm, tf, rm, cm,
+              epsilon, iters, iou_weight, interpret):
+    X = _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
+                               epsilon, iters, iou_weight, interpret)
+    return X, (emb, pmask_pool, tm, pm, tf, rm, cm)
+
+
+def _fpcm_bwd(epsilon, iters, iou_weight, interpret, res, gX):
+    """Exact gradients by differentiating the jnp reference recompute —
+    forward stays fused on-chip, backward pays one extra (non-fused)
+    forward. Standard fused-kernel-with-reference-vjp pattern."""
+    emb, pmask_pool, tm, pm, tf, rm, cm = res
+    _, vjp = jax.vjp(
+        lambda e, pp, a, b, c: _pool_cost_match_reference(
+            e, pp, a, b, c, rm, cm, epsilon, iters, iou_weight),
+        emb, pmask_pool, tm, pm, tf)
+    d_emb, d_pp, d_tm, d_pm, d_tf = vjp(gX)
+    return d_emb, d_pp, d_tm, d_pm, d_tf, None, None
+
+
+_fused_pool_cost_match.defvjp(_fpcm_fwd, _fpcm_bwd)
+
+
+def fused_pool_cost_match(emb: jnp.ndarray, prop_masks_pool: jnp.ndarray,
+                          tmpl_masks_cost: jnp.ndarray,
+                          prop_masks_cost: jnp.ndarray,
+                          tmpl_feats: jnp.ndarray,
+                          row_mask: jnp.ndarray, col_mask: jnp.ndarray,
+                          epsilon: float = 0.05, iters: int = 30,
+                          iou_weight: float = 0.3,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """Feature pooling + cost + Sinkhorn in ONE Pallas kernel.
+
+    Args:
+      emb (B, P, D): flattened per-frame embedding map (P = h*w).
+      prop_masks_pool (B, N, P): proposal masks at embedding resolution.
+      tmpl_masks_cost (B, M, Pc), prop_masks_cost (B, N, Pc): masks at the
+        (downsampled) cost-IoU resolution.
+      tmpl_feats (B, M, D): fixed template features from frame 1.
+      row_mask (B, M), col_mask (B, N): validity.
+    Returns X (B, M, N). Differentiable (exact unrolled grads via the jnp
+    reference in the backward pass).
+    """
+    if interpret is None:
+        # Pallas TPU kernels only compile on TPU; everywhere else (CPU
+        # tests, fake-device meshes) fall back to interpreter mode.
+        interpret = jax.default_backend() != "tpu"
+    B, P, D = emb.shape
+    M = tmpl_masks_cost.shape[1]
+    N = prop_masks_pool.shape[1]
+    Pc = tmpl_masks_cost.shape[2]
+    Mp, Np = _round_up(M, 8), _round_up(N, 128)
+    Pp, Dp = _round_up(P, 128), _round_up(D, 128)
+    Pcp = _round_up(Pc, 128)
+
+    def pad3(a, s1, s2):
+        return jnp.pad(a.astype(jnp.float32),
+                       ((0, 0), (0, s1 - a.shape[1]), (0, s2 - a.shape[2])))
+
+    emb_p = pad3(emb, Pp, Dp)
+    pmp = pad3(prop_masks_pool, Np, Pp)
+    tmc = pad3(tmpl_masks_cost, Mp, Pcp)
+    pmc = pad3(prop_masks_cost, Np, Pcp)
+    tfp = pad3(tmpl_feats, Mp, Dp)
+    rm = jnp.pad(row_mask.astype(jnp.float32), ((0, 0), (0, Mp - M)))
+    cm = jnp.pad(col_mask.astype(jnp.float32), ((0, 0), (0, Np - N)))
+
+    X = _fused_pool_cost_match(emb_p, pmp, tmc, pmc, tfp, rm, cm,
+                               epsilon, iters, iou_weight, interpret)
+    return X[:, :M, :N]

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dmm_net_tpu.config import Config
-from dmm_net_tpu.kernels.matcher import fused_cost_match
+from dmm_net_tpu.kernels.matcher import fused_pool_cost_match
 from dmm_net_tpu.models.decoder import RefinementDecoder
 from dmm_net_tpu.models.resnet import backbone_by_name
 from dmm_net_tpu.ops.cost import cost_matrix
@@ -78,24 +78,17 @@ class DMMNet(nn.Module):
 
     def match_step(self, tmpl_masks, prop_masks, tmpl_feats, prop_feats,
                    row_mask, col_mask):
-        """Cost + matching on downsampled masks. Shapes:
+        """Cost + matching on downsampled masks (jnp path). Shapes:
         tmpl_masks (B, M, h, w), prop_masks (B, N, h, w), feats (B, K, D).
         Returns X (B, M, N)."""
         cfg = self.config
         mh, mw = cfg.cost.mask_size
-        B, M = tmpl_masks.shape[:2]
-        N = prop_masks.shape[1]
 
         def flat(m):
             m = jax.image.resize(m, m.shape[:2] + (mh, mw), method="bilinear")
             return m.reshape(m.shape[0], m.shape[1], mh * mw)
 
         tm, pm = flat(tmpl_masks), flat(prop_masks)
-        if cfg.matching.use_pallas:
-            return fused_cost_match(
-                tm, pm, tmpl_feats, prop_feats, row_mask, col_mask,
-                epsilon=cfg.matching.epsilon, iters=cfg.matching.sinkhorn_iters,
-                iou_weight=cfg.cost.iou_weight)
         C = cost_matrix(tm, pm, tmpl_feats, prop_feats,
                         row_mask=row_mask, col_mask=col_mask,
                         iou_weight=cfg.cost.iou_weight)
@@ -129,9 +122,31 @@ class DMMNet(nn.Module):
         tmpl_valid (B, M) bool; state carries template masks + decoder state.
         """
         feats = self.extract_features(frame)
-        prop_feats = self.pool_mask_features(feats, prop_masks)
-        X = self.match_step(state.template_masks, prop_masks,
-                            tmpl_feats, prop_feats, tmpl_valid, prop_valid)
+        cfg = self.config
+        if cfg.matching.use_pallas:
+            # fused Pallas path: pooling + cost + Sinkhorn in ONE kernel
+            # (HBM round trip per frame instead of per op)
+            emb = feats["emb"]
+            B, eh, ew, D = emb.shape
+            mh, mw = cfg.cost.mask_size
+
+            def rs(m, hw):
+                return jax.image.resize(m, m.shape[:2] + hw, method="bilinear")
+
+            pm_pool = rs(prop_masks, (eh, ew)).reshape(B, prop_masks.shape[1], -1)
+            tm_cost = rs(state.template_masks, (mh, mw)).reshape(
+                B, state.template_masks.shape[1], -1)
+            pm_cost = rs(prop_masks, (mh, mw)).reshape(B, prop_masks.shape[1], -1)
+            X = fused_pool_cost_match(
+                emb.reshape(B, eh * ew, D), pm_pool, tm_cost, pm_cost,
+                tmpl_feats, tmpl_valid, prop_valid,
+                epsilon=cfg.matching.epsilon,
+                iters=cfg.matching.sinkhorn_iters,
+                iou_weight=cfg.cost.iou_weight)
+        else:
+            prop_feats = self.pool_mask_features(feats, prop_masks)
+            X = self.match_step(state.template_masks, prop_masks,
+                                tmpl_feats, prop_feats, tmpl_valid, prop_valid)
         agg = self.aggregate(X, prop_masks, tmpl_valid)
         logits, dec_state = self.decoder(feats, agg, state.decoder_state)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)

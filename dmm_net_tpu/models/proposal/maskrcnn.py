@@ -1,0 +1,255 @@
+"""Mask R-CNN (R-50-FPN) proposal generator in flax — the TPU-native
+equivalent of the reference's offline maskrcnn-benchmark stage
+(SURVEY.md §4.3). Inference path, static shapes throughout:
+
+    backbone(c2..c5) → FPN(p2..p6) → RPN head (objectness + deltas)
+      → per-level top-k → joint NMS → K proposals
+      → ROI-Align (all levels, level-mask select) → box head → class boxes
+      → ROI-Align → mask head → 28x28 mask logits → paste to image
+
+Differences from the CUDA reference, by design:
+  * no dynamic proposal counts anywhere: every stage carries a fixed K
+    with a validity mask (XLA static shapes);
+  * NMS is the jit fixed-k greedy op (ops/nms.py) — no nms.cu;
+  * ROI-Align is the dense gather formulation (ops/roi_pool.py) evaluated
+    on every FPN level then blended by the level-assignment mask — trades
+    4x flops on a tiny tensor for zero dynamic control flow (the
+    TPU-friendly variant of fpn_level_mapper);
+  * mask pasting is a vectorized bilinear resize into the padded image
+    grid, not a per-box CPU paste loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmm_net_tpu.models.proposal.anchors import (
+    clip_to_image,
+    decode_boxes,
+    generate_anchors,
+    level_slices,
+)
+from dmm_net_tpu.models.proposal.fpn import FPN
+from dmm_net_tpu.models.resnet import backbone_by_name
+from dmm_net_tpu.ops.nms import nms_boxes
+from dmm_net_tpu.ops.roi_pool import roi_align
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + objectness/delta 1x1 heads (applied per level)."""
+
+    num_anchors: int = 3
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t = nn.relu(nn.Conv(self.channels, (3, 3), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="conv")(x))
+        logits = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="cls_logits")(t)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bbox_pred")(t)
+        return logits, deltas
+
+
+class BoxHead(nn.Module):
+    """2-FC box head (representation 1024), class + box outputs."""
+
+    num_classes: int = 81
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):                         # (K, 7, 7, C)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc6")(x))
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc7")(x))
+        scores = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """4-conv + deconv mask FCN head, 28x28 per-class logits."""
+
+    num_classes: int = 81
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):                         # (K, 14, 14, C)
+        for i in range(4):
+            x = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype,
+                                name=f"mask_fcn{i + 1}")(x))
+        x = nn.relu(nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype, name="conv5_mask")(x))
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="mask_fcn_logits")(x)  # (K, 28, 28, classes)
+
+
+def _multilevel_roi_align(pyramid: Dict[str, jnp.ndarray], boxes: jnp.ndarray,
+                          out_size: Tuple[int, int]) -> jnp.ndarray:
+    """ROI-Align with FPN level assignment, static-shape variant: align on
+    every level, then select per box by the canonical level formula
+    lvl = floor(4 + log2(sqrt(area)/224)) clipped to [2, 5]."""
+    areas = jnp.maximum((boxes[:, 2] - boxes[:, 0]) *
+                        (boxes[:, 3] - boxes[:, 1]), 1e-6)
+    lvl = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-9))
+    lvl = jnp.clip(lvl, 2, 5).astype(jnp.int32)
+    outs = []
+    for i, name in enumerate(("p2", "p3", "p4", "p5")):
+        stride = 2 ** (i + 2)
+        feat = pyramid[name][0]                    # single image
+        pooled = roi_align(feat, boxes, out_size=out_size,
+                           sampling_ratio=2, spatial_scale=1.0 / stride)
+        outs.append(pooled)
+    stacked = jnp.stack(outs)                      # (4, K, oh, ow, C)
+    sel = jax.nn.one_hot(lvl - 2, 4, axis=0)       # (4, K)
+    return jnp.einsum("lkhwc,lk->khwc", stacked, sel)
+
+
+class MaskRCNN(nn.Module):
+    """Single-image inference Mask R-CNN. Static output sizes:
+    pre_nms_top_n per level, post_nms_top_n proposals, max_detections."""
+
+    image_size: Tuple[int, int] = (256, 448)
+    backbone_name: str = "resnet50"
+    num_classes: int = 81
+    pre_nms_top_n: int = 256
+    post_nms_top_n: int = 128
+    max_detections: int = 64
+    rpn_nms_thresh: float = 0.7
+    box_nms_thresh: float = 0.5
+    score_thresh: float = 0.05
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = backbone_by_name(self.backbone_name, dtype=self.dtype)
+        self.fpn = FPN(dtype=self.dtype)
+        self.rpn = RPNHead(dtype=self.dtype)
+        self.box_head = BoxHead(num_classes=self.num_classes, dtype=self.dtype)
+        self.mask_head = MaskHead(num_classes=self.num_classes,
+                                  dtype=self.dtype)
+        self._anchors = jnp.asarray(generate_anchors(self.image_size))
+        self._slices = level_slices(self.image_size)
+
+    def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """image (1, H, W, 3) normalized. Returns dict:
+        boxes (D, 4), scores (D,), classes (D,), masks (D, 28, 28),
+        valid (D,) with D = max_detections."""
+        feats = self.backbone(image)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        pyramid = self.fpn(feats)
+
+        # ---- RPN over levels ----
+        obj_flat, delta_flat = [], []
+        for name in ("p2", "p3", "p4", "p5", "p6"):
+            logits, deltas = self.rpn(pyramid[name])
+            obj_flat.append(logits.reshape(-1))
+            delta_flat.append(deltas.reshape(-1, 4))
+        obj = jnp.concatenate(obj_flat)
+        deltas = jnp.concatenate(delta_flat, 0)
+
+        # per-level top-k, then joint NMS
+        cand_idx = []
+        for (start, stop) in self._slices:
+            k = min(self.pre_nms_top_n, stop - start)
+            _, idx = jax.lax.top_k(obj[start:stop], k)
+            cand_idx.append(idx + start)
+        cand = jnp.concatenate(cand_idx)
+        cand_boxes = decode_boxes(deltas[cand], self._anchors[cand])
+        cand_boxes = clip_to_image(cand_boxes, self.image_size)
+        cand_scores = obj[cand]
+        # drop degenerate boxes
+        wh_ok = ((cand_boxes[:, 2] - cand_boxes[:, 0] > 1e-3) &
+                 (cand_boxes[:, 3] - cand_boxes[:, 1] > 1e-3))
+        keep_idx, keep_mask = nms_boxes(cand_boxes, cand_scores, wh_ok,
+                                        iou_threshold=self.rpn_nms_thresh,
+                                        max_out=self.post_nms_top_n)
+        safe = jnp.maximum(keep_idx, 0)
+        proposals = cand_boxes[safe]              # (P, 4)
+        prop_valid = keep_mask
+
+        # ---- box head ----
+        box_feats = _multilevel_roi_align(pyramid, proposals, (7, 7))
+        cls_scores, box_deltas = self.box_head(box_feats)
+        probs = jax.nn.softmax(cls_scores, -1)
+        # best non-background class per proposal
+        fg = probs[:, 1:]
+        best_cls = jnp.argmax(fg, -1)             # 0-based fg class
+        best_score = jnp.max(fg, -1) * prop_valid
+        bd = box_deltas.reshape(-1, self.num_classes, 4)
+        sel_deltas = jnp.take_along_axis(
+            bd, (best_cls + 1)[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        det_boxes = clip_to_image(
+            decode_boxes(sel_deltas, proposals, weights=(10., 10., 5., 5.)),
+            self.image_size)
+
+        # class-aware NMS approximated by score NMS (single-object VOS use)
+        ok = best_score > self.score_thresh
+        d_idx, d_mask = nms_boxes(det_boxes, best_score, ok,
+                                  iou_threshold=self.box_nms_thresh,
+                                  max_out=self.max_detections)
+        dsafe = jnp.maximum(d_idx, 0)
+        final_boxes = det_boxes[dsafe]
+        final_scores = best_score[dsafe] * d_mask
+        final_classes = (best_cls[dsafe] + 1) * d_mask
+
+        # ---- mask head ----
+        mask_feats = _multilevel_roi_align(pyramid, final_boxes, (14, 14))
+        mask_logits = self.mask_head(mask_feats)  # (D, 28, 28, classes)
+        sel = jax.nn.one_hot(final_classes, self.num_classes)
+        masks = jnp.einsum("khwc,kc->khw", mask_logits, sel)
+
+        return {"boxes": final_boxes, "scores": final_scores,
+                "classes": final_classes, "masks": jax.nn.sigmoid(masks),
+                "valid": d_mask}
+
+
+def paste_masks(masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
+                image_size: Tuple[int, int],
+                threshold: float = 0.5) -> jnp.ndarray:
+    """Paste (D, 28, 28) box masks into (D, H, W) image masks.
+
+    Vectorized inverse-mapping: for every image pixel compute its
+    coordinate inside the box and bilinear-sample the 28x28 mask; pixels
+    outside the box get 0. The TPU-friendly replacement for the reference's
+    per-box Masker paste loop."""
+    H, W = image_size
+    D, mh, mw = masks.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]     # (1, H, 1)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]     # (1, 1, W)
+    x1 = boxes[:, 0][:, None, None]
+    y1 = boxes[:, 1][:, None, None]
+    bw = jnp.maximum(boxes[:, 2][:, None, None] - x1, 1e-3)
+    bh = jnp.maximum(boxes[:, 3][:, None, None] - y1, 1e-3)
+    u = (xs - x1) / bw * mw - 0.5                            # (D, H, W)
+    v = (ys - y1) / bh * mh - 0.5
+    inside = (u > -0.5) & (u < mw - 0.5) & (v > -0.5) & (v < mh - 0.5)
+    u0 = jnp.clip(jnp.floor(u), 0, mw - 1)
+    v0 = jnp.clip(jnp.floor(v), 0, mh - 1)
+    du = jnp.clip(u - u0, 0, 1)
+    dv = jnp.clip(v - v0, 0, 1)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    u1i = jnp.clip(u0i + 1, 0, mw - 1)
+    v1i = jnp.clip(v0i + 1, 0, mh - 1)
+
+    def g(m, vi, ui):
+        flat = m.reshape(-1)
+        return flat[vi * mw + ui]
+
+    out = jax.vmap(lambda m, v0_, v1_, u0_, u1_, du_, dv_: (
+        g(m, v0_, u0_) * (1 - dv_) * (1 - du_) +
+        g(m, v0_, u1_) * (1 - dv_) * du_ +
+        g(m, v1_, u0_) * dv_ * (1 - du_) +
+        g(m, v1_, u1_) * dv_ * du_))(masks, v0i, v1i, u0i, u1i, du, dv)
+    out = jnp.where(inside, out, 0.0)
+    out = jnp.where(valid[:, None, None], out, 0.0)
+    return (out > threshold).astype(jnp.float32)
