@@ -54,8 +54,8 @@ def _matcher_kernel(tm_ref, pm_ref, tf_ref, pf_ref, rm_ref, cm_ref, x_ref,
     pm = pm_ref[0]
     tf = tf_ref[0]
     pf = pf_ref[0]
-    rm = rm_ref[0, :]                      # (M,)
-    cm = cm_ref[0, :]                      # (N,)
+    rm = rm_ref[0, 0, :]                   # (M,)
+    cm = cm_ref[0, 0, :]                   # (N,)
 
     # ---- cost matrix in VMEM (two MXU matmuls + VPU tail) ----
     inter = jax.lax.dot_general(tm, pm, (((1,), (1,)), ((), ())),
@@ -117,9 +117,6 @@ def _pallas_forward(tm, pm, tf, pf, rm, cm, *, epsilon, iters, iou_weight,
     def im3(i):
         return (i, 0, 0)
 
-    def im2(i):
-        return (i, 0)
-
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.float32),
@@ -129,12 +126,12 @@ def _pallas_forward(tm, pm, tf, pf, rm, cm, *, epsilon, iters, iou_weight,
             pl.BlockSpec((1, N, P), im3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, D), im3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, D), im3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), im2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), im2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), im3, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, M, N), im3, memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tm, pm, tf, pf, rm, cm)
+    )(tm, pm, tf, pf, rm[:, None, :], cm[:, None, :])
 
 
 def fused_cost_match(tmpl_masks: jnp.ndarray, prop_masks: jnp.ndarray,
@@ -199,8 +196,8 @@ def _pool_matcher_kernel(emb_ref, pmask_pool_ref, tm_ref, pm_ref, tf_ref,
     tm = tm_ref[0]
     pm = pm_ref[0]
     tf = tf_ref[0]
-    rm = rm_ref[0, :]
-    cm = cm_ref[0, :]
+    rm = rm_ref[0, 0, :]
+    cm = cm_ref[0, 0, :]
 
     # ---- in-kernel mask-average pooling: (N, P) @ (P, D) on the MXU ----
     pooled = jax.lax.dot_general(pmask, emb, (((1,), (0,)), ((), ())),
@@ -286,9 +283,6 @@ def _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
     def im3(i):
         return (i, 0, 0)
 
-    def im2(i):
-        return (i, 0)
-
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.float32),
@@ -299,12 +293,12 @@ def _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
             pl.BlockSpec((1, M, Pc), im3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, Pc), im3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, D), im3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), im2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), im2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), im3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), im3, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, M, N), im3, memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(emb, pmask_pool, tm, pm, tf, rm, cm)
+    )(emb, pmask_pool, tm, pm, tf, rm[:, None, :], cm[:, None, :])
 
 
 def _fpcm_fwd(emb, pmask_pool, tm, pm, tf, rm, cm,

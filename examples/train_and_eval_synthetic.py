@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""End-to-end learning proof: train DMM-Net on synthetic clips, then run the
+streaming inference engine with the trained weights and score DAVIS J&F.
+
+Usage: python examples/train_and_eval_synthetic.py [--steps 300] [--size 64]
+
+Expected: decoder J&F rises from ~0 (untrained) to >0.7 (it learns to
+refine the matcher-aggregated masks), approaching the matcher-aggregation
+score.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--eval-frames", type=int, default=6)
+    args = ap.parse_args()
+
+    from dmm_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmm_net_tpu.config import (Config, DataConfig, MatchingConfig,
+                                    ModelConfig, TrainConfig)
+    from dmm_net_tpu.data.synthetic import synthetic_clip_batch, synthetic_sequence
+    from dmm_net_tpu.eval.davis_jf import evaluate_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet
+    from dmm_net_tpu.train.loop import create_train_state, make_train_step
+
+    S = args.size
+    cfg = Config(
+        name="train_and_eval",
+        model=ModelConfig(backbone="resnet18", backbone_dtype="float32",
+                          feature_dim=32, decoder_dim=32,
+                          image_size=(S, S), template_update="aggregation"),
+        matching=MatchingConfig(max_templates=4, max_proposals=8,
+                                sinkhorn_iters=15, epsilon=0.03),
+        data=DataConfig(dataset="synthetic", batch_size=4, clip_length=3),
+        train=TrainConfig(lr=3e-4, warmup_steps=20, total_steps=args.steps,
+                          loss_iou_weight=0.5),
+    )
+    print(f"devices: {jax.devices()}")
+
+    def make_batch(seed):
+        return {k: jnp.asarray(v) for k, v in synthetic_clip_batch(
+            seed=seed, batch=cfg.data.batch_size, T=cfg.data.clip_length,
+            H=S, W=S, num_objects=2,
+            num_proposals=cfg.matching.max_proposals,
+            pad_objects=cfg.matching.max_templates).items()}
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), make_batch(0))
+    step = make_train_step(cfg)
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step(state, make_batch(i % 64))
+        if i == 0:
+            print(f"first step (compile): {time.time() - t0:.1f}s")
+            t0 = time.time()
+        if (i + 1) % 50 == 0:
+            print(f"step {i + 1}: loss={float(metrics['loss']):.4f}")
+    sps = (args.steps - 1) / (time.time() - t0)
+    print(f"steps/sec: {sps:.2f}")
+
+    # ---- inference with trained weights ----
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model = DMMNet(cfg)
+    engine = InferenceEngine(cfg, model=model, variables=variables,
+                             update_templates=True)
+    seq = synthetic_sequence(seed=999, T=args.eval_frames, H=S, W=S,
+                             num_objects=2,
+                             num_proposals=cfg.matching.max_proposals)
+    M = cfg.matching.max_templates
+
+    def pad_m(x, axis=0):
+        p = [(0, 0)] * x.ndim
+        p[axis] = (0, M - x.shape[axis])
+        return np.pad(x, p)
+
+    tmpl_masks = pad_m(seq["tmpl_masks"])[None]
+    tmpl_valid = pad_m(seq["tmpl_valid"])[None]
+
+    def stream():
+        for t in range(args.eval_frames):
+            yield {"frame": seq["frames"][t][None],
+                   "prop_masks": seq["prop_masks"][t][None],
+                   "prop_valid": seq["prop_valid"][t][None]}
+
+    res = engine.run_sequence(stream(), tmpl_masks, tmpl_valid,
+                              seq["frames"][0][None])
+    labels = res["labels"][:, 0]
+    gt_labels = np.zeros_like(labels)
+    for i in range(2):
+        gt_labels[seq["gt_masks"][:, i] > 0.5] = i + 1
+    r = evaluate_sequence(gt_labels, labels)
+    print(f"decoder (trained {args.steps} steps) J&F = {r['J&F']:.3f} "
+          f"(J={r['J']:.3f} F={r['F']:.3f})")
+    assert r["J&F"] > 0.5, "training did not converge enough"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Offline proposal extraction (reference stage 0, SURVEY.md §4.3).
+
+Runs the flax Mask R-CNN over every frame of a DAVIS/YT-VOS split and
+caches {boxes, scores, RLE masks} per frame as json — the exact format
+dmm_net_tpu.data.{davis,ytvos} readers consume.
+
+Usage:
+  python tools/extract_proposals.py --dataset davis --root /data/DAVIS \
+      --out /data/proposals [--params maskrcnn.msgpack] [--sequences a b]
+
+Without --params the net runs with random weights (useful only for
+pipeline plumbing tests; real caches need imported weights).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["davis", "ytvos"], default="davis")
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--split", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--params", default=None)
+    ap.add_argument("--image-size", type=int, nargs=2, default=(256, 448))
+    ap.add_argument("--max-detections", type=int, default=64)
+    ap.add_argument("--sequences", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from dmm_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN, paste_masks
+    from dmm_net_tpu.ops import rle as rle_codec
+    from dmm_net_tpu.utils.logging import get_logger
+
+    log = get_logger("extract")
+    H, W = args.image_size
+    model = MaskRCNN(image_size=(H, W), max_detections=args.max_detections)
+    img0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img0)
+    if args.params:
+        from flax import serialization
+        with open(args.params, "rb") as f:
+            loaded = serialization.msgpack_restore(f.read())
+        variables = {**variables, **loaded}
+        log.info("loaded params from %s", args.params)
+    else:
+        log.warning("running with RANDOM weights — plumbing test only")
+
+    @jax.jit
+    def infer(img):
+        out = model.apply(variables, img)
+        full = paste_masks(out["masks"], out["boxes"], out["valid"], (H, W))
+        return out["boxes"], out["scores"], out["valid"], full
+
+    if args.dataset == "davis":
+        from dmm_net_tpu.data.davis import DavisDataset
+        ds = DavisDataset(args.root, split=args.split or "val",
+                          image_size=(H, W))
+        seqs = args.sequences or ds.sequences
+        frame_lists = {s: ds.frame_paths(s) for s in seqs}
+        load = ds.load_frame
+    else:
+        from dmm_net_tpu.data.ytvos import YTVOSDataset
+        ds = YTVOSDataset(args.root, split=args.split or "valid",
+                          image_size=(H, W))
+        seqs = args.sequences or ds.videos
+        frame_lists = {s: ds.frame_paths(s) for s in seqs}
+        load = ds.load_frame
+
+    from dmm_net_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    for seq in seqs:
+        os.makedirs(os.path.join(args.out, seq), exist_ok=True)
+        for t, fp in enumerate(frame_lists[seq]):
+            img = load(fp).astype(np.float32) / 255.0
+            img = (img - IMAGENET_MEAN) / IMAGENET_STD
+            boxes, scores, valid, masks = infer(jnp.asarray(img[None]))
+            props = []
+            for i in range(args.max_detections):
+                if not bool(valid[i]):
+                    continue
+                props.append({
+                    "bbox": np.asarray(boxes[i]).tolist(),
+                    "score": float(scores[i]),
+                    "rle": {
+                        "size": list(map(int,
+                                         rle_codec.encode(
+                                             np.asarray(masks[i]) > 0.5
+                                         )["size"])),
+                        "counts": rle_codec.encode(
+                            np.asarray(masks[i]) > 0.5)["counts"].decode(
+                                "latin1"),
+                    },
+                })
+            with open(os.path.join(args.out, seq, f"{t:05d}.json"), "w") as f:
+                json.dump(props, f)
+        log.info("%s: %d frames", seq, len(frame_lists[seq]))
+
+
+if __name__ == "__main__":
+    main()
