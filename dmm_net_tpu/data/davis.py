@@ -84,7 +84,7 @@ class DavisDataset:
 
     def object_ids(self, seq: str) -> List[int]:
         ann0 = self.load_annotation(self.annotation_paths(seq)[0])
-        return sorted(set(np.unique(ann0)) - {0})
+        return sorted(int(x) for x in set(np.unique(ann0)) - {0})
 
     # ------------------------------------------------------------------
     def load_proposals(self, seq: str, t: int,
@@ -142,7 +142,7 @@ class DavisDataset:
         frames = self.frame_paths(seq)
         anns = self.annotation_paths(seq)
         ann0 = self.load_annotation(anns[0])
-        oids = sorted(set(np.unique(ann0)) - {0})[: self.max_objects]
+        oids = sorted(int(x) for x in set(np.unique(ann0)) - {0})[: self.max_objects]
         M = self.max_objects
         H, W = self.image_size
         tmpl = np.zeros((M, H, W), np.float32)
@@ -186,7 +186,7 @@ class DavisDataset:
                 ts = list(ts) + [ts[-1]] * (clip_length - len(list(ts)))
                 frames, pms, pvs, gts = [], [], [], []
                 ann_first = self.load_annotation(anns[ts[0]])
-                oids = sorted(set(np.unique(ann_first)) - {0})[:M]
+                oids = sorted(int(x) for x in set(np.unique(ann_first)) - {0})[:M]
                 for t in ts:
                     frames.append(self.load_frame(fps[t]))
                     gt = self.load_annotation(anns[t])

@@ -123,9 +123,14 @@ class InferenceEngine:
 
     @staticmethod
     def write_png(labels: np.ndarray, path: str) -> None:
-        """Write an (H, W) int label map as a DAVIS palette-indexed PNG."""
+        """Write an (H, W) int label map as a DAVIS palette-indexed PNG.
+
+        NB: PIL's Image.fromarray(arr, mode="P") silently corrupts index
+        values on save (bit-depth optimization); frombytes + putpalette
+        preserves raw indices exactly."""
         from PIL import Image
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        img = Image.fromarray(labels.astype(np.uint8), mode="P")
+        lab = np.ascontiguousarray(labels.astype(np.uint8))
+        img = Image.frombytes("P", (lab.shape[1], lab.shape[0]), lab.tobytes())
         img.putpalette(DAVIS_PALETTE.flatten().tolist())
         img.save(path)

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="p3_multi_object")
+    ap.add_argument("--set", nargs="*", default=[],
+                    help="dot-path overrides, e.g. model.backbone=resnet18")
     ap.add_argument("--davis-root", default="/root/data/DAVIS")
     ap.add_argument("--split", default="val")
     ap.add_argument("--proposal-dir", default=None)
@@ -39,6 +41,7 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
+    from dmm_net_tpu.utils.cli import parse_overrides
     from dmm_net_tpu.data.davis import DavisDataset
     from dmm_net_tpu.data.pipeline import RingStager
     from dmm_net_tpu.eval.davis_jf import evaluate_sequence
@@ -47,7 +50,7 @@ def main():
     from dmm_net_tpu.utils.logging import get_logger
 
     log = get_logger("infer")
-    cfg = preset(args.preset)
+    cfg = preset(args.preset).override(**parse_overrides(getattr(args, "set")))
     ds = DavisDataset(args.davis_root, split=args.split,
                       image_size=cfg.model.image_size,
                       proposal_dir=args.proposal_dir,

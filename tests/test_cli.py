@@ -1,0 +1,76 @@
+"""CLI smoke tests: train.py and infer.py run end-to-end as subprocesses on
+tiny configs (marked slow: each run pays a jit compile)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = ["model.backbone=resnet18", "model.backbone_dtype=float32",
+        "model.feature_dim=16", "model.decoder_dim=8",
+        "model.image_size=64,96",
+        "matching.max_templates=4", "matching.max_proposals=8",
+        "matching.sinkhorn_iters=5"]
+
+
+def _run(args, timeout=540):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def _fake_davis(tmp_path, n_seq=1, T=3, H0=60, W0=100):
+    root = str(tmp_path / "DAVIS")
+    names = [f"seq{i}" for i in range(n_seq)]
+    for seq in names:
+        os.makedirs(os.path.join(root, "JPEGImages", "480p", seq))
+        os.makedirs(os.path.join(root, "Annotations", "480p", seq))
+        for t in range(T):
+            rng = np.random.RandomState(t)
+            Image.fromarray((rng.rand(H0, W0, 3) * 255).astype(np.uint8)).save(
+                os.path.join(root, "JPEGImages", "480p", seq, f"{t:05d}.jpg"))
+            ann = np.zeros((H0, W0), np.uint8)
+            ann[20 + t:40 + t, 30:60] = 1
+            Image.fromarray(ann).save(
+                os.path.join(root, "Annotations", "480p", seq, f"{t:05d}.png"))
+    os.makedirs(os.path.join(root, "ImageSets", "2017"))
+    for split in ("train", "val"):
+        with open(os.path.join(root, "ImageSets", "2017",
+                               f"{split}.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return root
+
+
+@pytest.mark.slow
+def test_train_cli_synthetic(tmp_path):
+    r = _run(["train.py", "--preset", "p5_train", "--steps", "3",
+              "--logdir", str(tmp_path / "run"),
+              "--set", "data.dataset=synthetic", "data.batch_size=1",
+              "data.clip_length=2", "train.checkpoint_every=1000"] + TINY)
+    assert r.returncode == 0, r.stderr[-3000:]
+    # final checkpoint written
+    assert os.path.isdir(tmp_path / "run" / "ckpt")
+
+
+@pytest.mark.slow
+def test_infer_cli_on_fake_davis(tmp_path):
+    root = _fake_davis(tmp_path)
+    out = str(tmp_path / "results")
+    r = _run(["infer.py", "--preset", "p3_multi_object",
+              "--davis-root", root, "--out", out,
+              "--set"] + TINY)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "results.json")) as f:
+        summary = json.load(f)
+    assert "seq0" in summary["sequences"]
+    assert summary["frames"] == 3
+    assert 0.0 <= summary["J&F"] <= 1.0
+    pngs = os.listdir(os.path.join(out, "seq0"))
+    assert len(pngs) == 3

@@ -101,7 +101,7 @@ def test_ytvos_reader_smoke(tmp_path):
     ann5[12:32, 12:32] = 1
     ann5[40:60, 50:80] = 2
     for t, ann in [(0, ann0), (5, ann5)]:
-        im = Image.fromarray(ann, mode="P")
+        im = Image.fromarray(ann)  # L-mode: exact values survive
         im.save(os.path.join(root, "valid", "Annotations", vid, f"{t:05d}.png"))
     meta = {"videos": {vid: {"objects": {
         "1": {"frames": ["00000", "00005"]},

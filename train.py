@@ -16,24 +16,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def parse_overrides(pairs):
-    out = {}
-    for p in pairs or []:
-        k, v = p.split("=", 1)
-        for cast in (int, float):
-            try:
-                v = cast(v)
-                break
-            except ValueError:
-                continue
-        if v in ("true", "True"):
-            v = True
-        elif v in ("false", "False"):
-            v = False
-        out[k] = v
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="p5_train")
@@ -53,6 +35,7 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
+    from dmm_net_tpu.utils.cli import parse_overrides
     from dmm_net_tpu.data.synthetic import synthetic_clip_batch
     from dmm_net_tpu.parallel.mesh import make_mesh
     from dmm_net_tpu.train.loop import create_train_state, train_loop
