@@ -87,7 +87,19 @@ def main():
 
     from dmm_net_tpu.data.pipeline import Prefetcher
     from dmm_net_tpu.parallel.mesh import batch_sharding
-    staged = Prefetcher(stream, lambda b: b, depth=cfg.data.prefetch_depth,
+
+    if cfg.data.augment:
+        from dmm_net_tpu.data.augment import augment_batch
+        stream = ({"__seed": i, **b} for i, b in enumerate(stream))
+
+        def load(b):
+            seed = b.pop("__seed")
+            return augment_batch(b, seed=seed)
+    else:
+        def load(b):
+            return b
+
+    staged = Prefetcher(stream, load, depth=cfg.data.prefetch_depth,
                         sharding=batch_sharding(mesh) if mesh else None)
 
     state = train_loop(cfg, state, staged, mesh=mesh, writer=writer,
