@@ -55,6 +55,7 @@ class ModelConfig:
     backbone_dtype: str = "bfloat16"
     feature_dim: int = 256         # pooled mask-feature dim
     decoder_dim: int = 128
+    decoder_dtype: str = "float32"  # "bfloat16" halves decoder HBM traffic
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
     # Source of next-frame template masks for the cost IoU term:
     # "decoder" (refined prediction, the reference's behavior) or
@@ -88,6 +89,9 @@ class TrainConfig:
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
+    remat: bool = False            # jax.checkpoint the per-frame step
+                                   # (recompute activations in backward —
+                                   # memory ∝ 1 frame instead of T frames)
 
 
 @dataclass(frozen=True)

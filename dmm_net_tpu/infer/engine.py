@@ -121,6 +121,64 @@ class InferenceEngine:
         return {"labels": np.stack(labels_out),
                 "assignments": np.stack(assign_out)}
 
+    # -- chunked-scan streaming (config #4: long YT-VOS sequences) --------
+    def _chunk_step(self, variables, frames, prop_masks, prop_valid,
+                    tmpl_feats, tmpl_valid, state):
+        """lax.scan over a chunk of K frames in ONE device dispatch.
+        frames (K, B, H, W, 3) etc. Returns stacked labels/assignments."""
+
+        def step(st, xs):
+            frame, pmask, pvalid = xs
+            out, new_st = self.model.apply(variables, frame, pmask, pvalid,
+                                           tmpl_feats, tmpl_valid, st)
+            labels = resolve_overlaps(out.logits, tmpl_valid)
+            if not self.update_templates:
+                new_st = new_st._replace(template_masks=st.template_masks)
+            return new_st, (labels, out.assignment)
+
+        state, (labels, X) = jax.lax.scan(
+            step, state, (frames, prop_masks, prop_valid))
+        return labels, X, state
+
+    def run_sequence_chunked(self, frames: np.ndarray, prop_masks: np.ndarray,
+                             prop_valid: np.ndarray, tmpl_masks: np.ndarray,
+                             tmpl_valid: np.ndarray, chunk: int = 8
+                             ) -> Dict[str, np.ndarray]:
+        """Whole-sequence inference with K-frame scan chunks: one device
+        dispatch per K frames instead of per frame — the low-latency path
+        for long sequences (the last partial chunk is padded and sliced).
+
+        frames (T, B, H, W, 3); prop_masks (T, B, N, H, W);
+        prop_valid (T, B, N); tmpl_masks (B, M, H, W); tmpl_valid (B, M).
+        """
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(self._chunk_step)
+        T = frames.shape[0]
+        tmpl_masks = jnp.asarray(tmpl_masks)
+        tmpl_valid = jnp.asarray(tmpl_valid)
+        tmpl_feats = self._init_feats(self.variables,
+                                      jnp.asarray(frames[0]), tmpl_masks)
+        state = self.model.apply(self.variables, tmpl_masks,
+                                 method=DMMNet.init_state)
+        labels_out, assign_out = [], []
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            k = t1 - t0
+
+            def pad(x):
+                if k == chunk:
+                    return jnp.asarray(x[t0:t1])
+                padding = [(0, chunk - k)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.asarray(np.pad(x[t0:t1], padding, mode="edge"))
+
+            labels, X, state = self._chunk_jit(
+                self.variables, pad(frames), pad(prop_masks),
+                pad(prop_valid), tmpl_feats, tmpl_valid, state)
+            labels_out.append(np.asarray(labels[:k]))
+            assign_out.append(np.asarray(X[:k]))
+        return {"labels": np.concatenate(labels_out),
+                "assignments": np.concatenate(assign_out)}
+
     @staticmethod
     def write_png(labels: np.ndarray, path: str) -> None:
         """Write an (H, W) int label map as a DAVIS palette-indexed PNG.

@@ -106,7 +106,8 @@ class RefinementDecoder(nn.Module):
                 state = jnp.zeros((B, M) + h32 + (f,), self.dtype)
             h_prev = state.reshape((B * M,) + h32 + (f,)).astype(self.dtype)
             x = ConvGRUCell(f, dtype=self.dtype, name="gru")(h_prev, x)
-            new_state = x.reshape((B, M) + h32 + (f,))
+            # carry stays f32 so scan carries have a stable dtype under bf16
+            new_state = x.reshape((B, M) + h32 + (f,)).astype(jnp.float32)
         else:
             new_state = jnp.zeros((B, M) + h32 + (f,), self.dtype)
 

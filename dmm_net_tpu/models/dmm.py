@@ -61,7 +61,9 @@ class DMMNet(nn.Module):
                                  dtype=jnp.float32, param_dtype=jnp.float32)
         self.decoder = RefinementDecoder(
             features=cfg.model.decoder_dim,
-            recurrent=cfg.model.decoder_recurrent)
+            recurrent=cfg.model.decoder_recurrent,
+            dtype=jnp.bfloat16 if cfg.model.decoder_dtype == "bfloat16"
+            else jnp.float32)
 
     def extract_features(self, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to

@@ -95,11 +95,19 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
 
     state = model.apply(variables, batch["tmpl_masks"], method=DMMNet.init_state)
 
+    def frame_apply(st, frame, pmask, pvalid):
+        return model.apply(variables, frame, pmask, pvalid,
+                           tmpl_feats, batch["tmpl_valid"], st)
+
+    if cfg.train.remat:
+        # recompute frame activations in the backward pass: clip-BPTT
+        # memory becomes O(1 frame) instead of O(T frames)
+        frame_apply = jax.checkpoint(frame_apply)
+
     def step(carry, xs):
         st = carry
         frame, pmask, pvalid = xs
-        out, new_st = model.apply(variables, frame, pmask, pvalid,
-                                  tmpl_feats, batch["tmpl_valid"], st)
+        out, new_st = frame_apply(st, frame, pmask, pvalid)
         return new_st, out.logits
 
     xs = (jnp.moveaxis(frames, 1, 0),

@@ -84,3 +84,21 @@ def test_training_loss_decreases():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_training_with_remat_and_bf16_decoder_matches_loss_scale():
+    import dataclasses
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, decoder_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, remat=True))
+    batch = _batch(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
