@@ -157,6 +157,7 @@ def _p2_single_object() -> Config:
     return Config(
         name="p2_single_object",
         matching=MatchingConfig(max_templates=1, max_proposals=64),
+        model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=1),
     )
 
@@ -166,6 +167,7 @@ def _p3_multi_object() -> Config:
     return Config(
         name="p3_multi_object",
         matching=MatchingConfig(max_templates=16, max_proposals=128),
+        model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=4),
     )
 
@@ -175,6 +177,7 @@ def _p4_ytvos_stream() -> Config:
     return Config(
         name="p4_ytvos_stream",
         matching=MatchingConfig(max_templates=16, max_proposals=128),
+        model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )
 

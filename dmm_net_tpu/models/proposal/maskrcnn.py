@@ -37,7 +37,7 @@ from dmm_net_tpu.models.proposal.anchors import (
 from dmm_net_tpu.models.proposal.fpn import FPN
 from dmm_net_tpu.models.resnet import backbone_by_name
 from dmm_net_tpu.ops.nms import nms_boxes
-from dmm_net_tpu.ops.roi_pool import roi_align
+from dmm_net_tpu.ops.roi_pool import roi_align_mxu
 
 
 class RPNHead(nn.Module):
@@ -106,8 +106,8 @@ def _multilevel_roi_align(pyramid: Dict[str, jnp.ndarray], boxes: jnp.ndarray,
     for i, name in enumerate(("p2", "p3", "p4", "p5")):
         stride = 2 ** (i + 2)
         feat = pyramid[name][0]                    # single image
-        pooled = roi_align(feat, boxes, out_size=out_size,
-                           sampling_ratio=2, spatial_scale=1.0 / stride)
+        pooled = roi_align_mxu(feat, boxes, out_size=out_size,
+                               sampling_ratio=2, spatial_scale=1.0 / stride)
         outs.append(pooled)
     stacked = jnp.stack(outs)                      # (4, K, oh, ow, C)
     sel = jax.nn.one_hot(lvl - 2, 4, axis=0)       # (4, K)

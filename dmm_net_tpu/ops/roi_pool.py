@@ -108,3 +108,52 @@ def roi_align(feats: jnp.ndarray, boxes: jnp.ndarray,
 def roi_align_batched(feats: jnp.ndarray, boxes: jnp.ndarray, **kw) -> jnp.ndarray:
     """feats (B, H, W, C), boxes (B, K, 4) -> (B, K, oh, ow, C)."""
     return jax.vmap(lambda f, b: roi_align(f, b, **kw))(feats, boxes)
+
+
+# ---------------------------------------------------------------------------
+# MXU-native ROI-Align: separable interpolation as two matmuls.
+#
+# Bilinear ROI-Align is separable: pooled[k] = A_y(k) @ feat @ A_x(k)^T,
+# where A_y (out_h, H) / A_x (out_w, W) are per-ROI interpolation matrices
+# (each row: bilinear weights of the s sample points averaged per output
+# cell). On TPU this turns the gather-heavy CUDA formulation into two small
+# matmuls per ROI — exactly what the MXU wants, and what SURVEY.md §3.2 15b
+# calls for. The Pallas variant (kernels/roi_align.py) additionally keeps
+# the level's feature map VMEM-resident across ALL ROIs (one HBM read total
+# instead of one gather stream per ROI).
+# ---------------------------------------------------------------------------
+
+def _interp_matrix(start: jnp.ndarray, size: jnp.ndarray, out: int, s: int,
+                   dim: int) -> jnp.ndarray:
+    """Per-ROI 1D interpolation matrix (out, dim): rows average the s
+    bilinear sample points of each output cell (aligned=True semantics)."""
+    pos = start + (jnp.arange(out * s) + 0.5) / (out * s) * \
+        jnp.maximum(size, 1e-3) - 0.5
+    p0 = jnp.floor(pos)
+    d = pos - p0
+    p0c = jnp.clip(p0.astype(jnp.int32), 0, dim - 1)
+    p1c = jnp.clip(p0c + 1, 0, dim - 1)
+    R = ((1.0 - d)[:, None] * jax.nn.one_hot(p0c, dim, dtype=jnp.float32)
+         + d[:, None] * jax.nn.one_hot(p1c, dim, dtype=jnp.float32))
+    return R.reshape(out, s, dim).mean(axis=1)
+
+
+def roi_align_mxu(feats: jnp.ndarray, boxes: jnp.ndarray,
+                  out_size: tuple[int, int] = (7, 7),
+                  sampling_ratio: int = 2,
+                  spatial_scale: float = 1.0) -> jnp.ndarray:
+    """Separable-matmul ROI-Align. Same API/semantics as `roi_align`
+    (aligned=True, border clamping); all FLOPs land on the MXU."""
+    H, W, C = feats.shape
+    oh, ow = out_size
+    s = sampling_ratio
+    b = boxes.astype(jnp.float32) * spatial_scale
+
+    def one(box):
+        Ay = _interp_matrix(box[1], box[3] - box[1], oh, s, H)   # (oh, H)
+        Ax = _interp_matrix(box[0], box[2] - box[0], ow, s, W)   # (ow, W)
+        t = jnp.einsum("yh,hwc->ywc", Ay, feats,
+                       precision=_PRECISION)
+        return jnp.einsum("xw,ywc->yxc", Ax, t, precision=_PRECISION)
+
+    return jax.vmap(one)(b)

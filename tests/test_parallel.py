@@ -73,3 +73,46 @@ def test_batch_sharding_places_shards(devices):
     y = jax.device_put(x, batch_sharding(mesh))
     assert len(y.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+def test_sharded_batched_inference_matches_single_device(devices):
+    """Batched-sequence inference sharded over the data axis must produce
+    identical labels to single-device execution (each sequence is
+    chip-local; no cross-chip state)."""
+    import jax.numpy as jnp
+    from dmm_net_tpu.infer.engine import resolve_overlaps
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.parallel.mesh import replicated_sharding
+
+    cfg = _cfg()
+    model = DMMNet(cfg)
+    B = 8
+    S = 64
+    M, N = cfg.matching.max_templates, cfg.matching.max_proposals
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(B, S, S, 3), jnp.float32)
+    pm = jnp.asarray(rng.rand(B, N, S, S) > 0.8, jnp.float32)
+    pv = jnp.ones((B, N), bool)
+    tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
+    tv = jnp.ones((B, M), bool)
+    st = FrameState(
+        template_masks=jnp.asarray(rng.rand(B, M, S, S) > 0.8, jnp.float32),
+        decoder_state=jnp.zeros((B, M, S // 32, S // 32,
+                                 cfg.model.decoder_dim)))
+    variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv, st)
+
+    def fwd(frame, pm, pv, tf_, tv, st):
+        out, new_st = model.apply(variables, frame, pm, pv, tf_, tv, st)
+        return resolve_overlaps(out.logits, tv)
+
+    single = jax.jit(fwd)(frame, pm, pv, tf_, tv, st)
+
+    mesh = make_mesh(data=8, model=1)
+    data = batch_sharding(mesh)
+    sharded_fwd = jax.jit(fwd, in_shardings=(data, data, data, data, data,
+                                             FrameState(data, data)),
+                          out_shardings=data)
+    args = [jax.device_put(x, data) for x in (frame, pm, pv, tf_, tv)]
+    st_sh = FrameState(*(jax.device_put(x, data) for x in st))
+    sharded = sharded_fwd(*args, st_sh)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
