@@ -179,6 +179,53 @@ class InferenceEngine:
         return {"labels": np.concatenate(labels_out),
                 "assignments": np.concatenate(assign_out)}
 
+    def run_stream_chunked(self, frames_iter: Iterator[Dict[str, np.ndarray]],
+                           tmpl_masks: np.ndarray, tmpl_valid: np.ndarray,
+                           first_frame: np.ndarray, chunk: int = 8
+                           ) -> Dict[str, np.ndarray]:
+        """Streaming variant of run_sequence_chunked: consumes the per-frame
+        item stream (so only `chunk` frames of proposals are host-resident
+        at once — full-sequence stacks would be GBs for long YT-VOS videos),
+        stacks K frames, and dispatches one scan per chunk."""
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(self._chunk_step)
+        tmpl_masks = jnp.asarray(tmpl_masks)
+        tmpl_valid = jnp.asarray(tmpl_valid)
+        tmpl_feats = self._init_feats(self.variables, jnp.asarray(first_frame),
+                                      tmpl_masks)
+        state = self.model.apply(self.variables, tmpl_masks,
+                                 method=DMMNet.init_state)
+        labels_out, assign_out = [], []
+        buf: list = []
+
+        def flush():
+            nonlocal state
+            if not buf:
+                return
+            k = len(buf)
+
+            def stack(key):
+                xs = np.stack([b[key] for b in buf])
+                if k < chunk:   # pad last chunk with edge frames
+                    xs = np.pad(xs, [(0, chunk - k)] + [(0, 0)] * (xs.ndim - 1),
+                                mode="edge")
+                return jnp.asarray(xs)
+
+            labels, X, state = self._chunk_jit(
+                self.variables, stack("frame"), stack("prop_masks"),
+                stack("prop_valid"), tmpl_feats, tmpl_valid, state)
+            labels_out.append(np.asarray(labels[:k]))
+            assign_out.append(np.asarray(X[:k]))
+            buf.clear()
+
+        for item in frames_iter:
+            buf.append(item)
+            if len(buf) == chunk:
+                flush()
+        flush()
+        return {"labels": np.concatenate(labels_out),
+                "assignments": np.concatenate(assign_out)}
+
     @staticmethod
     def write_png(labels: np.ndarray, path: str) -> None:
         """Write an (H, W) int label map as a DAVIS palette-indexed PNG.

@@ -211,6 +211,53 @@ class MaskRCNN(nn.Module):
                 "classes": final_classes, "masks": jax.nn.sigmoid(masks),
                 "valid": d_mask}
 
+    def train_forward(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Training-mode forward: raw RPN outputs over all anchors plus
+        box/mask head outputs on the (stop-gradient) RPN proposals —
+        everything models/proposal/losses.py consumes. Single image."""
+        feats = self.backbone(image)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        pyramid = self.fpn(feats)
+
+        obj_flat, delta_flat = [], []
+        for name in ("p2", "p3", "p4", "p5", "p6"):
+            logits, deltas = self.rpn(pyramid[name])
+            obj_flat.append(logits.reshape(-1))
+            delta_flat.append(deltas.reshape(-1, 4))
+        obj = jnp.concatenate(obj_flat)
+        deltas = jnp.concatenate(delta_flat, 0)
+
+        # proposals: same selection as inference, but gradients stop at the
+        # boxes (standard two-stage training: heads don't backprop through
+        # proposal coordinates)
+        cand_idx = []
+        for (start, stop) in self._slices:
+            k = min(self.pre_nms_top_n, stop - start)
+            _, idx = jax.lax.top_k(jax.lax.stop_gradient(obj[start:stop]), k)
+            cand_idx.append(idx + start)
+        cand = jnp.concatenate(cand_idx)
+        cand_boxes = decode_boxes(jax.lax.stop_gradient(deltas)[cand],
+                                  self._anchors[cand])
+        cand_boxes = clip_to_image(cand_boxes, self.image_size)
+        wh_ok = ((cand_boxes[:, 2] - cand_boxes[:, 0] > 1e-3) &
+                 (cand_boxes[:, 3] - cand_boxes[:, 1] > 1e-3))
+        keep_idx, keep_mask = nms_boxes(
+            cand_boxes, jax.lax.stop_gradient(obj)[cand], wh_ok,
+            iou_threshold=self.rpn_nms_thresh, max_out=self.post_nms_top_n)
+        proposals = cand_boxes[jnp.maximum(keep_idx, 0)]
+        prop_valid = keep_mask
+
+        box_feats = _multilevel_roi_align(pyramid, proposals, (7, 7))
+        cls_scores, box_deltas = self.box_head(box_feats)
+        mask_feats = _multilevel_roi_align(pyramid, proposals, (14, 14))
+        mask_logits = self.mask_head(mask_feats)
+
+        return {"rpn_objectness": obj, "rpn_deltas": deltas,
+                "anchors": self._anchors,
+                "proposals": proposals, "prop_valid": prop_valid,
+                "cls_scores": cls_scores, "box_deltas": box_deltas,
+                "mask_logits": mask_logits}
+
 
 def paste_masks(masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
                 image_size: Tuple[int, int],

@@ -4,10 +4,13 @@
 Usage:
   python infer.py --preset p3_multi_object --davis-root /data/DAVIS \
                   [--ckpt runs/x/ckpt] [--out results/p3] [--sequences bike-packing]
+  python infer.py --preset p4_ytvos_stream --dataset ytvos \
+                  --ytvos-root /data/YouTubeVOS --out results/p4
 
-Runs per-sequence streaming inference over DAVIS val, writes palette PNGs
-and a results JSON with J, F, J&F per sequence and overall — the exact
-fields of the driver metric (BASELINE.json:2).
+DAVIS: per-sequence streaming inference, palette PNGs + results JSON with
+J, F, J&F per sequence and overall (the driver metric, BASELINE.json:2).
+YT-VOS: chunked-scan streaming inference (config #4), writes the official
+submission tree (Annotations/<vid>/<stem>.png at original resolution).
 """
 
 import argparse
@@ -24,8 +27,12 @@ def main():
     ap.add_argument("--preset", default="p3_multi_object")
     ap.add_argument("--set", nargs="*", default=[],
                     help="dot-path overrides, e.g. model.backbone=resnet18")
+    ap.add_argument("--dataset", choices=["davis", "ytvos"], default="davis")
     ap.add_argument("--davis-root", default="/root/data/DAVIS")
-    ap.add_argument("--split", default="val")
+    ap.add_argument("--ytvos-root", default="/root/data/YouTubeVOS")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per scan chunk (ytvos streaming)")
+    ap.add_argument("--split", default=None)
     ap.add_argument("--proposal-dir", default=None)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--out", default="results/default")
@@ -51,14 +58,25 @@ def main():
 
     log = get_logger("infer")
     cfg = preset(args.preset).override(**parse_overrides(getattr(args, "set")))
-    ds = DavisDataset(args.davis_root, split=args.split,
-                      image_size=cfg.model.image_size,
-                      proposal_dir=args.proposal_dir,
-                      max_objects=cfg.matching.max_templates,
-                      max_proposals=cfg.matching.max_proposals)
-    seqs = args.sequences or ds.sequences
-    if not seqs:
-        raise SystemExit(f"no sequences found under {args.davis_root}")
+    if args.dataset == "davis":
+        ds = DavisDataset(args.davis_root, split=args.split or "val",
+                          image_size=cfg.model.image_size,
+                          proposal_dir=args.proposal_dir,
+                          max_objects=cfg.matching.max_templates,
+                          max_proposals=cfg.matching.max_proposals)
+        seqs = args.sequences or ds.sequences
+        if not seqs:
+            raise SystemExit(f"no sequences found under {args.davis_root}")
+    else:
+        from dmm_net_tpu.data.ytvos import YTVOSDataset
+        ds = YTVOSDataset(args.ytvos_root, split=args.split or "valid",
+                          image_size=cfg.model.image_size,
+                          proposal_dir=args.proposal_dir,
+                          max_objects=cfg.matching.max_templates,
+                          max_proposals=cfg.matching.max_proposals)
+        seqs = args.sequences or ds.videos
+        if not seqs:
+            raise SystemExit(f"no videos found under {args.ytvos_root}")
 
     model = DMMNet(cfg)
     H, W = cfg.model.image_size
@@ -98,6 +116,33 @@ def main():
     for seq_name in seqs:
         sd = ds.sequence_stream(seq_name)
         stream = RingStager(sd["frames"], depth=2)
+        if args.dataset == "ytvos":
+            # chunked-scan streaming (config #4): one dispatch per K frames
+            res = engine.run_stream_chunked(
+                iter(stream), sd["tmpl_masks"], sd["tmpl_valid"],
+                sd["first_frame"], chunk=args.chunk)
+            labels = res["labels"][:, 0]
+            total_frames += labels.shape[0]
+            from dmm_net_tpu.data.ytvos import write_submission
+            stems = sd["annotated_stems"] or sd["frame_stems"]
+            pick = [sd["frame_stems"].index(s) for s in stems
+                    if s in sd["frame_stems"]]
+            # the server expects original-resolution PNGs
+            full_size = None
+            ann_dir = os.path.join(args.ytvos_root, args.split or "valid",
+                                   "Annotations", seq_name)
+            if os.path.isdir(ann_dir):
+                from PIL import Image as _Image
+                first = sorted(os.listdir(ann_dir))
+                if first:
+                    with _Image.open(os.path.join(ann_dir, first[0])) as im:
+                        full_size = (im.height, im.width)
+            write_submission(args.out, seq_name,
+                             [sd["frame_stems"][i] for i in pick],
+                             labels[pick], sd["object_ids"],
+                             full_size=full_size)
+            log.info("%s: %d frames -> submission", seq_name, labels.shape[0])
+            continue
         res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
                                   sd["tmpl_valid"], sd["first_frame"])
         labels = res["labels"][:, 0]

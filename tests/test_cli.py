@@ -74,3 +74,42 @@ def test_infer_cli_on_fake_davis(tmp_path):
     assert 0.0 <= summary["J&F"] <= 1.0
     pngs = os.listdir(os.path.join(out, "seq0"))
     assert len(pngs) == 3
+
+
+def _fake_ytvos(tmp_path, T=6, H0=60, W0=100):
+    import json
+    root = str(tmp_path / "YTVOS")
+    vid = "v001"
+    os.makedirs(os.path.join(root, "valid", "JPEGImages", vid))
+    os.makedirs(os.path.join(root, "valid", "Annotations", vid))
+    for t in range(T):
+        rng = np.random.RandomState(t)
+        Image.fromarray((rng.rand(H0, W0, 3) * 255).astype(np.uint8)).save(
+            os.path.join(root, "valid", "JPEGImages", vid, f"{t:05d}.jpg"))
+    ann = np.zeros((H0, W0), np.uint8)
+    ann[10:30, 20:50] = 1
+    Image.fromarray(ann).save(
+        os.path.join(root, "valid", "Annotations", vid, "00000.png"))
+    ann5 = np.zeros((H0, W0), np.uint8)
+    ann5[15:35, 25:55] = 1
+    Image.fromarray(ann5).save(
+        os.path.join(root, "valid", "Annotations", vid, "00005.png"))
+    meta = {"videos": {vid: {"objects": {
+        "1": {"frames": ["00000", "00005"]}}}}}
+    with open(os.path.join(root, "valid", "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return root, vid
+
+
+@pytest.mark.slow
+def test_infer_cli_ytvos_submission(tmp_path):
+    root, vid = _fake_ytvos(tmp_path)
+    out = str(tmp_path / "sub")
+    r = _run(["infer.py", "--preset", "p4_ytvos_stream", "--dataset", "ytvos",
+              "--ytvos-root", root, "--out", out, "--chunk", "3",
+              "--set"] + TINY + ["model.decoder_dtype=float32"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    pngs = sorted(os.listdir(os.path.join(out, "Annotations", vid)))
+    assert pngs == ["00000.png", "00005.png"]
+    im = np.asarray(Image.open(os.path.join(out, "Annotations", vid, pngs[0])))
+    assert im.shape == (60, 100) or im.shape == (64, 96)

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Proposal-network training CLI (reference: maskrcnn-benchmark
+tools/train_net.py, SURVEY.md §3.3 DDP row — here the same jit'd
+data-parallel pattern as the main trainer).
+
+Usage:
+  python train_proposal.py [--steps 100] [--image-size 128 128] \
+      [--backbone resnet18] [--logdir runs/proposal]
+
+Trains on synthetic detection data (boxes/masks derived from the synthetic
+video generator) until real COCO/YT-VOS detection data is mounted. The
+loss wiring (RPN + box head + mask head) is dataset-agnostic.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--image-size", type=int, nargs=2, default=(128, 128))
+    ap.add_argument("--backbone", default="resnet18")
+    ap.add_argument("--num-classes", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--logdir", default="runs/proposal")
+    ap.add_argument("--max-objects", type=int, default=4)
+    args = ap.parse_args()
+
+    from dmm_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dmm_net_tpu.data.synthetic import synthetic_sequence
+    from dmm_net_tpu.models.proposal.losses import (
+        assign_proposals, box_head_loss, mask_head_loss, rpn_loss)
+    from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN
+    from dmm_net_tpu.utils.logging import MetricsWriter, get_logger
+
+    log = get_logger("train_proposal")
+    H, W = args.image_size
+    G = args.max_objects
+
+    def sample(seed):
+        """One synthetic frame -> (image, gt_boxes (G,4), gt_labels (G,),
+        gt_valid (G,), gt_masks (G,H,W))."""
+        rng = np.random.RandomState(seed)
+        seq = synthetic_sequence(seed=seed, T=1, H=H, W=W,
+                                 num_objects=min(2, G), num_proposals=4)
+        img = seq["frames"][0]
+        masks = seq["gt_masks"][0]                      # (m, H, W)
+        m = masks.shape[0]
+        boxes = np.zeros((G, 4), np.float32)
+        labels = np.zeros((G,), np.int32)
+        valid = np.zeros((G,), bool)
+        gt_masks = np.zeros((G, H, W), np.float32)
+        for i in range(m):
+            ys, xs = np.nonzero(masks[i] > 0.5)
+            if ys.size == 0:
+                continue
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            labels[i] = 1 + (i % (args.num_classes - 1))
+            valid[i] = True
+            gt_masks[i] = masks[i]
+        return (img[None].astype(np.float32), boxes, labels, valid, gt_masks)
+
+    model = MaskRCNN(image_size=(H, W), backbone_name=args.backbone,
+                     num_classes=args.num_classes, pre_nms_top_n=64,
+                     post_nms_top_n=32, max_detections=16)
+    img0, *_ = sample(0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adamw(args.lr, weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, img, gt_boxes, gt_labels, gt_valid, gt_masks):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          img, method=MaskRCNN.train_forward)
+        l_rpn = rpn_loss(out["rpn_objectness"], out["rpn_deltas"],
+                         out["anchors"], gt_boxes, gt_valid)
+        l_box = box_head_loss(out["cls_scores"], out["box_deltas"],
+                              out["proposals"], out["prop_valid"],
+                              gt_boxes, gt_labels, gt_valid)
+        cls_t, matched = assign_proposals(out["proposals"], out["prop_valid"],
+                                          gt_boxes, gt_labels, gt_valid)
+        l_mask = mask_head_loss(out["mask_logits"], out["proposals"],
+                                cls_t, matched, gt_masks)
+        total = (l_rpn["rpn_cls"] + l_rpn["rpn_reg"] +
+                 l_box["box_cls"] + l_box["box_reg"] + l_mask)
+        return total, {**l_rpn, **l_box, "mask": l_mask}
+
+    @jax.jit
+    def step(params, opt_state, img, gb, gl, gv, gm):
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, img, gb, gl, gv, gm)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, parts
+
+    writer = MetricsWriter(args.logdir)
+    t0 = time.time()
+    for i in range(args.steps):
+        img, gb, gl, gv, gm = (jnp.asarray(x) for x in sample(i % 16))
+        params, opt_state, loss, parts = step(params, opt_state, img, gb,
+                                              gl, gv, gm)
+        if i == 0:
+            log.info("first step (compile): %.1fs", time.time() - t0)
+        if (i + 1) % 10 == 0 or i == 0:
+            m = {k: float(v) for k, v in parts.items()}
+            m["total"] = float(loss)
+            writer.write(i + 1, m)
+            log.info("step %d: %s", i + 1,
+                     {k: round(v, 4) for k, v in m.items()})
+    log.info("done")
+
+
+if __name__ == "__main__":
+    main()
