@@ -75,6 +75,7 @@ class InferenceEngine:
         self.variables = variables
         self.update_templates = update_templates
         self._step = jax.jit(self._frame_step)
+        self._step_compact = jax.jit(self._frame_step_compact)
         self._init_feats = jax.jit(self._template_features)
 
     # -- jitted pieces ----------------------------------------------------
@@ -94,12 +95,29 @@ class InferenceEngine:
             new_state = new_state._replace(template_masks=state.template_masks)
         return labels, out.assignment, new_state
 
+    def _frame_step_compact(self, variables, frame, prop_boxes, prop_masks28,
+                            prop_valid, tmpl_feats, tmpl_valid, state):
+        """Compact-proposal step: the host ships boxes (B, N, 4) + box-local
+        masks (B, N, mh, mw) (~0.4 MB/frame) instead of full-resolution
+        masks (~58 MB/frame at 256x448, N=128); pasting to (B, N, H, W)
+        happens on device. This is what keeps the PCIe/tunnel H2D path off
+        the critical path for streaming inference."""
+        from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
+        H, W = self.cfg.model.image_size
+        pm = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W)))(
+            prop_masks28.astype(jnp.float32), prop_boxes, prop_valid)
+        return self._frame_step(variables, frame, pm, prop_valid,
+                                tmpl_feats, tmpl_valid, state)
+
     # -- host loop --------------------------------------------------------
     def run_sequence(self, frames_iter: Iterator[Dict[str, np.ndarray]],
                      tmpl_masks: np.ndarray, tmpl_valid: np.ndarray,
                      first_frame: np.ndarray) -> Dict[str, np.ndarray]:
-        """frames_iter yields {"frame": (B,H,W,3), "prop_masks": (B,N,H,W),
-        "prop_valid": (B,N)} per timestep (already batched; B=1 typical).
+        """frames_iter yields, per timestep (already batched; B=1 typical):
+          {"frame": (B,H,W,3), "prop_masks": (B,N,H,W), "prop_valid": (B,N)}
+        or the compact form (pasted to full resolution on device):
+          {"frame": ..., "prop_boxes": (B,N,4), "prop_masks28": (B,N,mh,mw),
+           "prop_valid": (B,N)}.
         tmpl_* come from frame 1 GT. Returns stacked labels (T, B, H, W)
         and assignments."""
         variables = self.variables
@@ -111,11 +129,19 @@ class InferenceEngine:
                                  method=DMMNet.init_state)
         labels_out, assign_out = [], []
         for item in frames_iter:
-            labels, X, state = self._step(
-                variables, jnp.asarray(item["frame"]),
-                jnp.asarray(item["prop_masks"]),
-                jnp.asarray(item["prop_valid"]),
-                tmpl_feats, tmpl_valid, state)
+            if "prop_boxes" in item:
+                labels, X, state = self._step_compact(
+                    variables, jnp.asarray(item["frame"]),
+                    jnp.asarray(item["prop_boxes"]),
+                    jnp.asarray(item["prop_masks28"]),
+                    jnp.asarray(item["prop_valid"]),
+                    tmpl_feats, tmpl_valid, state)
+            else:
+                labels, X, state = self._step(
+                    variables, jnp.asarray(item["frame"]),
+                    jnp.asarray(item["prop_masks"]),
+                    jnp.asarray(item["prop_valid"]),
+                    tmpl_feats, tmpl_valid, state)
             labels_out.append(np.asarray(labels))
             assign_out.append(np.asarray(X))
         return {"labels": np.stack(labels_out),

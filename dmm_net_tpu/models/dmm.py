@@ -67,7 +67,13 @@ class DMMNet(nn.Module):
 
     def extract_features(self, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to
-        the matching feature space as key 'emb' (stride 16)."""
+        the matching feature space as key 'emb' (stride 16).
+
+        uint8 frames are ImageNet-normalized on device (so hosts transfer
+        1 byte/px over PCIe); float frames are assumed pre-normalized."""
+        if frames.dtype == jnp.uint8:
+            from dmm_net_tpu.data.pipeline import normalize_frames
+            frames = normalize_frames(frames)
         feats = self.backbone(frames)
         feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
         feats["emb"] = self.feat_proj(feats["c4"])

@@ -55,31 +55,47 @@ def _masked_logsumexp(x: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarr
 
 
 def sinkhorn_duals(C: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
-                   epsilon: float, iters: int):
+                   epsilon: float, iters: int,
+                   epsilon_init: Optional[float] = None):
     """Run log-domain Sinkhorn updates; return converged duals (f, g).
 
     f: (..., M) row potentials, g: (..., N) column potentials (g <= 0).
     Row marginals are exactly 1 after the final row update; column sums
     are <= 1 up to solver tolerance.
+
+    epsilon_init: optional ε-annealing — geometric schedule from
+    epsilon_init down to epsilon over the iterations. Warm-starting at high
+    temperature reaches sharp low-ε assignments in far fewer iterations
+    (standard ε-scaling from the OT literature).
     """
     pair_mask = row_mask[..., :, None] & col_mask[..., None, :]
-    negC = jnp.where(pair_mask, -C / epsilon, _NEG)
     g0 = jnp.zeros(C.shape[:-2] + C.shape[-1:], dtype=C.dtype)
 
-    def body(g, _):
-        # row update: f_i = -eps * logsumexp_j((g_j - C_ij)/eps)  (log r_i = 0)
-        f = -epsilon * _masked_logsumexp(
-            negC + g[..., None, :] / epsilon, pair_mask, axis=-1)
+    if epsilon_init is None or epsilon_init <= epsilon:
+        eps_sched = jnp.full((iters,), epsilon, C.dtype)
+    else:
+        # reach the target epsilon by ~70% of the budget, then hold: the
+        # tail of constant-ε iterations settles the column-cap duals that
+        # the final row update alone cannot fix.
+        anneal_steps = max(int(iters * 0.7), 1)
+        decay = (epsilon / epsilon_init) ** (1.0 / anneal_steps)
+        eps_sched = jnp.maximum(
+            epsilon_init * decay ** jnp.arange(iters, dtype=C.dtype), epsilon)
+
+    def body(g, eps):
+        negC = jnp.where(pair_mask, -C / eps, _NEG)
+        f = -eps * _masked_logsumexp(
+            negC + g[..., None, :] / eps, pair_mask, axis=-1)
         f = jnp.where(row_mask, f, 0.0)
-        # col update with cap: g_j = min(0, -eps * logsumexp_i((f_i - C_ij)/eps))
-        g_bal = -epsilon * _masked_logsumexp(
-            negC + f[..., :, None] / epsilon, pair_mask, axis=-2)
+        g_bal = -eps * _masked_logsumexp(
+            negC + f[..., :, None] / eps, pair_mask, axis=-2)
         g = jnp.minimum(0.0, g_bal)
         g = jnp.where(col_mask, g, 0.0)
         return g, None
 
-    g, _ = jax.lax.scan(body, g0, None, length=iters)
-    # final row update so rows sum to exactly 1
+    g, _ = jax.lax.scan(body, g0, eps_sched)
+    # final row update at the target epsilon so rows sum to exactly 1
+    negC = jnp.where(pair_mask, -C / epsilon, _NEG)
     f = -epsilon * _masked_logsumexp(
         negC + g[..., None, :] / epsilon, pair_mask, axis=-1)
     f = jnp.where(row_mask, f, 0.0)
@@ -95,7 +111,8 @@ def _primal_from_duals(C, f, g, row_mask, col_mask, epsilon):
 
 def sinkhorn_match(C: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
                    epsilon: float = 0.05, iters: int = 30,
-                   implicit_grad: bool = False) -> jnp.ndarray:
+                   implicit_grad: bool = False,
+                   epsilon_init: Optional[float] = None) -> jnp.ndarray:
     """Entropic relaxed matching. See module docstring.
 
     With implicit_grad=True, the dual iteration is wrapped in stop_gradient
@@ -106,11 +123,12 @@ def sinkhorn_match(C: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
     """
     if implicit_grad:
         f, g = sinkhorn_duals(jax.lax.stop_gradient(C), row_mask, col_mask,
-                              epsilon, iters)
+                              epsilon, iters, epsilon_init=epsilon_init)
         f = jax.lax.stop_gradient(f)
         g = jax.lax.stop_gradient(g)
     else:
-        f, g = sinkhorn_duals(C, row_mask, col_mask, epsilon, iters)
+        f, g = sinkhorn_duals(C, row_mask, col_mask, epsilon, iters,
+                              epsilon_init=epsilon_init)
     return _primal_from_duals(C, f, g, row_mask, col_mask, epsilon)
 
 

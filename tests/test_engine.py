@@ -72,3 +72,71 @@ def test_resolve_overlaps_semantics():
     valid2 = jnp.asarray([[True, False]])
     lab2 = np.asarray(resolve_overlaps(logits, valid2))[0]
     assert (lab2[:2, :2] == 1).all()
+
+
+def test_compact_proposals_match_full_masks():
+    """Shipping boxes + 28x28 masks and pasting on device must equal
+    shipping the pre-pasted full-resolution masks."""
+    from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
+
+    cfg, model, variables, seq, tmpl_masks, tmpl_valid = _setup(T=3)
+    engine = InferenceEngine(cfg, model=model, variables=variables,
+                             update_templates=True)
+    S = 64
+    N = cfg.matching.max_proposals
+    rng = np.random.RandomState(5)
+    boxes = np.zeros((3, 1, N, 4), np.float32)
+    m28 = np.zeros((3, 1, N, 28, 28), np.float32)
+    pv = np.zeros((3, 1, N), bool)
+    for t in range(3):
+        for j in range(5):
+            x1, y1 = rng.randint(0, 40, 2)
+            boxes[t, 0, j] = [x1, y1, x1 + rng.randint(8, 20),
+                              y1 + rng.randint(8, 20)]
+            m28[t, 0, j] = (rng.rand(28, 28) > 0.4)
+            pv[t, 0, j] = True
+    # full-resolution equivalents via the same paste op
+    full = np.stack([
+        np.asarray(paste_masks(jnp.asarray(m28[t, 0]),
+                               jnp.asarray(boxes[t, 0]),
+                               jnp.asarray(pv[t, 0]), (S, S)))
+        for t in range(3)])[:, None]
+
+    def stream_compact():
+        for t in range(3):
+            yield {"frame": seq["frames"][t][None],
+                   "prop_boxes": boxes[t], "prop_masks28": m28[t],
+                   "prop_valid": pv[t]}
+
+    def stream_full():
+        for t in range(3):
+            yield {"frame": seq["frames"][t][None],
+                   "prop_masks": full[t], "prop_valid": pv[t]}
+
+    r1 = engine.run_sequence(stream_compact(), tmpl_masks, tmpl_valid,
+                             seq["frames"][0][None])
+    r2 = engine.run_sequence(stream_full(), tmpl_masks, tmpl_valid,
+                             seq["frames"][0][None])
+    # the on-device paste fuses differently; samples that land exactly on
+    # the 0.5 threshold can flip by 1 ULP — allow a sub-0.1% pixel budget
+    mismatch = (r1["labels"] != r2["labels"]).mean()
+    assert mismatch < 1e-3, mismatch
+    np.testing.assert_allclose(r1["assignments"], r2["assignments"],
+                               atol=1e-3)
+
+
+def test_uint8_frames_are_normalized_on_device():
+    """uint8 frames must produce the same features as pre-normalized
+    float frames (engine H2D stays 1 byte/px)."""
+    import jax
+    from dmm_net_tpu.data.pipeline import normalize_frames
+    from dmm_net_tpu.models.dmm import DMMNet
+
+    cfg, model, variables, seq, *_ = _setup(T=1)
+    u8 = (np.clip(seq["frames"][:1], 0, 1) * 255).astype(np.uint8)
+    f_u8 = model.apply(variables, jnp.asarray(u8),
+                       method=DMMNet.extract_features)
+    f_norm = model.apply(variables, normalize_frames(jnp.asarray(u8)),
+                         method=DMMNet.extract_features)
+    np.testing.assert_allclose(np.asarray(f_u8["emb"]),
+                               np.asarray(f_norm["emb"]), atol=1e-5)

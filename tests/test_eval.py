@@ -66,3 +66,30 @@ def test_first_last_frame_exclusion():
     pred[2] = 0   # ruin last frame: excluded
     res = evaluate_sequence(gt, pred)
     assert res["J"] == 1.0
+
+
+def test_ytvos_local_scorer():
+    from dmm_net_tpu.eval.ytvos_local import evaluate_video, summarize
+
+    H = W = 32
+    sq = lambda y, x, s: _square(H, W, y, x, s)  # noqa: E731
+    gt = {}
+    pred = {}
+    for i, stem in enumerate(["00000", "00005", "00010"]):
+        g = np.zeros((H, W), np.int32)
+        g[sq(4 + i, 4, 10)] = 1
+        if stem >= "00005":
+            g[sq(20, 20, 8)] = 2
+        gt[stem] = g
+    # perfect prediction for obj 1; object 2 predicted empty
+    for stem, g in gt.items():
+        p = g.copy()
+        p[p == 2] = 0
+        pred[stem] = p
+    res = evaluate_video(gt, pred, {1: "00000", 2: "00005"})
+    assert res[1]["J"] == 1.0 and res[1]["F"] == 1.0
+    assert res[2]["J"] == 0.0
+    s = summarize({"v": res})
+    assert 0.4 < s["overall"]["G"] < 0.6
+    s2 = summarize({"v": res}, seen_categories={"v": [1]})
+    assert s2["seen"]["G"] == 1.0 and s2["unseen"]["G"] < 0.1

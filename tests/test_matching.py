@@ -213,3 +213,29 @@ def test_batched_vmap_consistency():
         Xs = np.asarray(sinkhorn_match(jnp.asarray(Cs[b]), rm[b], cm[b],
                                        epsilon=0.05, iters=50))
         np.testing.assert_allclose(Xb[b], Xs, atol=1e-5)
+
+
+def test_epsilon_annealing_converges_faster():
+    """ε-scaling: 12 annealed iterations should reach the low-temperature
+    optimum that plain Sinkhorn needs many more iterations for."""
+    rng = np.random.RandomState(41)
+    C = _rand_cost(rng, 5, 15)
+    ri, ci = linear_sum_assignment(C)
+    rm = jnp.ones((5,), bool)
+    cm = jnp.ones((15,), bool)
+    X_ann = np.asarray(sinkhorn_match(jnp.asarray(C), rm, cm, epsilon=0.01,
+                                      iters=12, epsilon_init=0.5))
+    X_plain = np.asarray(sinkhorn_match(jnp.asarray(C), rm, cm, epsilon=0.01,
+                                        iters=12))
+    # annealed: recovers the Hungarian assignment and tight objective
+    assert (X_ann.argmax(-1) == ci).all()
+    obj_ann = (X_ann * C).sum()
+    obj_plain = (X_plain * C).sum()
+    opt = C[ri, ci].sum()
+    assert obj_ann <= opt + 0.03
+    # annealed at least as good as plain at equal iteration count
+    assert obj_ann <= obj_plain + 1e-3
+    # constraints approximately hold (12 iters at eps=0.01 leaves a small
+    # column residual; tight satisfaction at convergence is tested above)
+    np.testing.assert_allclose(X_ann.sum(-1), 1.0, atol=1e-2)
+    assert (X_ann.sum(-2) <= 1.0 + 5e-2).all()
