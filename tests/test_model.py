@@ -102,3 +102,45 @@ def test_training_with_remat_and_bf16_decoder_matches_loss_scale():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_grad_accumulation_matches_large_batch_direction():
+    """optax.MultiSteps: two accumulated half-batches must apply the same
+    update as one full batch (same data)."""
+    import dataclasses
+    cfg = tiny_config()
+    # warmup starts at LR 0 — the single update in this test would be zero
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, warmup_steps=0))
+    cfg_acc = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=2))
+    batch = _batch(cfg)
+    half1 = {k: v[:1] for k, v in batch.items()}
+    half2 = {k: v[1:] for k, v in batch.items()}
+
+    s_full = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    s_acc = create_train_state(cfg_acc, jax.random.PRNGKey(0), batch)
+    # same initial params
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_acc.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step_full = make_train_step(cfg)
+    step_acc = make_train_step(cfg_acc)
+    s_full, _ = step_full(s_full, batch)
+    s_acc, _ = step_acc(s_acc, half1)
+    s_acc, _ = step_acc(s_acc, half2)
+    # updates should be close (mean of grads == grad of mean for equal-size
+    # halves up to loss-normalization detail; direction must agree strongly)
+    got = np.concatenate([np.asarray(x).ravel() for x in
+                          jax.tree.leaves(s_acc.params)])
+    want = np.concatenate([np.asarray(x).ravel() for x in
+                           jax.tree.leaves(s_full.params)])
+    init = np.concatenate([np.asarray(x).ravel() for x in
+                           jax.tree.leaves(
+                               create_train_state(
+                                   cfg, jax.random.PRNGKey(0), batch).params)])
+    du_got = got - init
+    du_want = want - init
+    cos = (du_got * du_want).sum() / (
+        np.linalg.norm(du_got) * np.linalg.norm(du_want) + 1e-12)
+    assert cos > 0.9, cos
