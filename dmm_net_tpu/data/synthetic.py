@@ -13,7 +13,7 @@ real data pipeline); outputs are channel-last float32 ready for staging.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -21,7 +21,6 @@ both behaviors are testable).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Iterator, Optional
 
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmm_net_tpu.config import Config
-from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.models.dmm import DMMNet
 
 # 256-entry DAVIS palette: the standard VOC/DAVIS colormap generator.
 def _davis_palette() -> np.ndarray:

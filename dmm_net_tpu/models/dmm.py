@@ -18,7 +18,7 @@ IoU term is updated each frame with the previous frame's prediction
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax
@@ -178,28 +178,3 @@ class DMMNet(nn.Module):
         dec = jnp.zeros((B, M, h32, w32, f), jnp.float32)
         return FrameState(template_masks=tmpl_masks.astype(jnp.float32),
                           decoder_state=dec)
-
-
-def forward_clip(model: DMMNet, params, frames, prop_masks, prop_valid,
-                 tmpl_masks, tmpl_feats, tmpl_valid,
-                 update_templates: bool = True):
-    """Scan the per-frame step over a clip.
-
-    frames (B, T, H, W, 3); prop_masks (B, T, N, H, W); prop_valid (B, T, N);
-    tmpl_* from frame 1. Returns FrameOutput stacked over T (time-major
-    inside, transposed back to batch-major).
-    """
-    state0 = model.apply(params, tmpl_masks, method=DMMNet.init_state)
-
-    def step(state, inputs):
-        frame, pmask, pvalid = inputs
-        out, new_state = model.apply(params, frame, pmask, pvalid,
-                                     tmpl_feats, tmpl_valid, state)
-        if not update_templates:
-            new_state = new_state._replace(template_masks=state.template_masks)
-        return new_state, out
-
-    xs = (jnp.moveaxis(frames, 1, 0), jnp.moveaxis(prop_masks, 1, 0),
-          jnp.moveaxis(prop_valid, 1, 0))
-    _, outs = jax.lax.scan(step, state0, xs)
-    return jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)

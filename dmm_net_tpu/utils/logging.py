@@ -12,7 +12,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 def get_logger(name: str = "dmm") -> logging.Logger:

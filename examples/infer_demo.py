@@ -23,7 +23,7 @@ import os
 import jax
 import numpy as np
 
-from dmm_net_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig
+from dmm_net_tpu.config import Config, MatchingConfig, ModelConfig
 from dmm_net_tpu.data.synthetic import synthetic_sequence
 from dmm_net_tpu.eval.davis_jf import evaluate_sequence
 from dmm_net_tpu.infer.engine import InferenceEngine
