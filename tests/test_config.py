@@ -1,0 +1,52 @@
+"""Config tree: presets, dot-path overrides, CLI override parsing."""
+
+import pytest
+
+from dmm_net_tpu.config import Config, preset
+from dmm_net_tpu.utils.cli import parse_overrides
+
+
+def test_all_presets_load():
+    for name in ("p1_matcher_only", "p2_single_object", "p3_multi_object",
+                 "p4_ytvos_stream", "p5_train"):
+        cfg = preset(name)
+        assert cfg.name == name
+        assert cfg.matching.max_templates >= 1
+        assert cfg.model.image_size[0] % 32 == 0
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError):
+        preset("nope")
+
+
+def test_override_nested_and_immutable():
+    cfg = Config()
+    cfg2 = cfg.override(**{"matching.solver": "pgd", "train.lr": 3e-4,
+                           "model.image_size": (64, 96)})
+    assert cfg2.matching.solver == "pgd"
+    assert cfg2.train.lr == 3e-4
+    assert cfg2.model.image_size == (64, 96)
+    # original untouched (frozen dataclasses)
+    assert cfg.matching.solver == "sinkhorn"
+
+
+def test_parse_overrides_types():
+    out = parse_overrides(["a.b=3", "c.d=0.5", "e.f=true", "g.h=False",
+                           "i.j=64,96", "k.l=resnet50"])
+    assert out == {"a.b": 3, "c.d": 0.5, "e.f": True, "g.h": False,
+                   "i.j": (64, 96), "k.l": "resnet50"}
+
+
+def test_preset_configs_match_driver_acceptance():
+    """BASELINE.json configs 1-5 sanity: the presets encode their axes."""
+    p1 = preset("p1_matcher_only")
+    assert p1.data.batch_size == 1 and p1.matching.solver == "sinkhorn"
+    p2 = preset("p2_single_object")
+    assert p2.matching.max_templates == 1 and p2.data.dataset == "davis"
+    p3 = preset("p3_multi_object")
+    assert p3.matching.max_templates > 1 and p3.data.batch_size > 1
+    p4 = preset("p4_ytvos_stream")
+    assert p4.data.dataset == "ytvos" and p4.data.prefetch_depth >= 3
+    p5 = preset("p5_train")
+    assert p5.data.dataset == "davis" and p5.data.clip_length >= 2
