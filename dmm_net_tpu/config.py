@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -28,6 +28,7 @@ class MatchingConfig:
     solver: str = "sinkhorn"
     # Sinkhorn
     epsilon: float = 0.05          # entropic temperature
+    epsilon_init: float = 0.0      # >epsilon enables geometric eps-annealing
     sinkhorn_iters: int = 30
     implicit_grad: bool = False    # stop-grad duals, differentiate last recompute
     # PGD + Dykstra

@@ -181,7 +181,7 @@ class DavisDataset:
                 fps = self.frame_paths(seq)
                 anns = self.annotation_paths(seq)
                 T = min(len(fps), len(anns))
-                t0 = rng.randint(0, max(T - clip_length, 1))
+                t0 = rng.randint(0, max(T - clip_length + 1, 1))
                 ts = range(t0, min(t0 + clip_length, T))
                 ts = list(ts) + [ts[-1]] * (clip_length - len(list(ts)))
                 frames, pms, pvs, gts = [], [], [], []

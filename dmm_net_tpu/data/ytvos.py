@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -111,13 +112,17 @@ class YTVOSDataset:
         tmpl = np.zeros((M, H, W), np.float32)
         tv = np.zeros((M,), bool)
         live_from = np.full((M,), len(frames), np.int64)
+        tmpl_frames = np.zeros((M, H, W, 3), np.uint8)
         for i, oid in enumerate(oids):
             stem = first[oid]
             if stem in anns:
                 ann = self.load_annotation(anns[stem])
                 tmpl[i] = (ann == oid)
                 tv[i] = True
-                live_from[i] = stems.index(stem) if stem in stems else 0
+                t_idx = stems.index(stem) if stem in stems else 0
+                live_from[i] = t_idx
+                # each object's template features come from ITS first frame
+                tmpl_frames[i] = self.load_frame(frames[t_idx])
 
         def gen() -> Iterator[Dict[str, np.ndarray]]:
             for t, fp in enumerate(frames):
@@ -130,7 +135,8 @@ class YTVOSDataset:
 
         return {"name": vid, "frames": gen(), "tmpl_masks": tmpl[None],
                 "tmpl_valid": tv[None], "object_ids": oids,
-                "live_from": live_from,
+                "live_from": live_from[None],
+                "tmpl_frames": tmpl_frames[None],
                 "first_frame": self.load_frame(frames[0])[None],
                 "frame_stems": stems,
                 "annotated_stems": sorted(anns),
@@ -155,7 +161,8 @@ class YTVOSDataset:
                     valid[i] = True
                 return masks, valid
         if gt_labels is not None:
-            rng = np.random.RandomState(hash(vid) % (2 ** 31) + t)
+            rng = np.random.RandomState(
+                (zlib.crc32(vid.encode()) + t) % (2 ** 31))
             i = 0
             for oid in sorted(set(np.unique(gt_labels)) - {0}):
                 if i >= N:

@@ -84,6 +84,20 @@ class InferenceEngine:
         return self.model.apply(variables, feats, tmpl_masks,
                                 method=DMMNet.pool_mask_features)
 
+    def _template_features_per_object(self, variables, obj_frames, tmpl_masks):
+        """Pool each object's template features from ITS OWN first annotated
+        frame (YT-VOS objects appear mid-video — pooling everything from
+        frame 0 would put background under a later-frame mask).
+        obj_frames (B, M, H, W, 3); tmpl_masks (B, M, H, W) -> (B, M, D)."""
+        B, M = obj_frames.shape[:2]
+        flat_frames = obj_frames.reshape((B * M,) + obj_frames.shape[2:])
+        feats = self.model.apply(variables, flat_frames,
+                                 method=DMMNet.extract_features)
+        flat_masks = tmpl_masks.reshape((B * M, 1) + tmpl_masks.shape[2:])
+        pooled = self.model.apply(variables, feats, flat_masks,
+                                  method=DMMNet.pool_mask_features)
+        return pooled.reshape(B, M, -1)
+
     def _frame_step(self, variables, frame, prop_masks, prop_valid,
                     tmpl_feats, tmpl_valid, state):
         out, new_state = self.model.apply(variables, frame, prop_masks,
@@ -148,21 +162,37 @@ class InferenceEngine:
 
     # -- chunked-scan streaming (config #4: long YT-VOS sequences) --------
     def _chunk_step(self, variables, frames, prop_masks, prop_valid,
-                    tmpl_feats, tmpl_valid, state):
+                    tmpl_feats, tmpl_valid, state,
+                    t0=None, live_from=None, tmpl_masks0=None):
         """lax.scan over a chunk of K frames in ONE device dispatch.
-        frames (K, B, H, W, 3) etc. Returns stacked labels/assignments."""
+        frames (K, B, H, W, 3) etc. Returns stacked labels/assignments.
 
-        def step(st, xs):
+        Mid-video objects (YT-VOS): with `live_from` (B, M) frame indices
+        and the chunk's global start index `t0`, a template slot only
+        participates from its first annotated frame — before that it is
+        masked out of matching/labels and its template mask is pinned to
+        the initial GT (`tmpl_masks0`) so the aggregation feedback can't
+        wipe it."""
+        gated = live_from is not None
+
+        def step(carry, xs):
+            st, t = carry
             frame, pmask, pvalid = xs
+            valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
             out, new_st = self.model.apply(variables, frame, pmask, pvalid,
-                                           tmpl_feats, tmpl_valid, st)
-            labels = resolve_overlaps(out.logits, tmpl_valid)
+                                           tmpl_feats, valid_t, st)
+            labels = resolve_overlaps(out.logits, valid_t)
             if not self.update_templates:
                 new_st = new_st._replace(template_masks=st.template_masks)
-            return new_st, (labels, out.assignment)
+            elif gated:
+                live_px = valid_t[..., None, None]
+                new_st = new_st._replace(template_masks=jnp.where(
+                    live_px, new_st.template_masks, tmpl_masks0))
+            return (new_st, t + 1), (labels, out.assignment)
 
-        state, (labels, X) = jax.lax.scan(
-            step, state, (frames, prop_masks, prop_valid))
+        t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0
+        (state, _), (labels, X) = jax.lax.scan(
+            step, (state, t_start), (frames, prop_masks, prop_valid))
         return labels, X, state
 
     def run_sequence_chunked(self, frames: np.ndarray, prop_masks: np.ndarray,
@@ -206,25 +236,42 @@ class InferenceEngine:
 
     def run_stream_chunked(self, frames_iter: Iterator[Dict[str, np.ndarray]],
                            tmpl_masks: np.ndarray, tmpl_valid: np.ndarray,
-                           first_frame: np.ndarray, chunk: int = 8
+                           first_frame: np.ndarray, chunk: int = 8,
+                           live_from: Optional[np.ndarray] = None,
+                           tmpl_frames: Optional[np.ndarray] = None
                            ) -> Dict[str, np.ndarray]:
         """Streaming variant of run_sequence_chunked: consumes the per-frame
         item stream (so only `chunk` frames of proposals are host-resident
         at once — full-sequence stacks would be GBs for long YT-VOS videos),
-        stacks K frames, and dispatches one scan per chunk."""
+        stacks K frames, and dispatches one scan per chunk.
+
+        YT-VOS mid-video objects: pass `live_from` (B, M) first-frame
+        indices and `tmpl_frames` (B, M, H, W, 3) per-object template
+        frames; template features are pooled from each object's own frame
+        and slots stay inactive before their first frame."""
         if not hasattr(self, "_chunk_jit"):
-            self._chunk_jit = jax.jit(self._chunk_step)
+            self._chunk_jit = jax.jit(self._chunk_step,
+                                      static_argnames=())
         tmpl_masks = jnp.asarray(tmpl_masks)
         tmpl_valid = jnp.asarray(tmpl_valid)
-        tmpl_feats = self._init_feats(self.variables, jnp.asarray(first_frame),
-                                      tmpl_masks)
+        if tmpl_frames is not None:
+            if not hasattr(self, "_init_feats_per_obj"):
+                self._init_feats_per_obj = jax.jit(
+                    self._template_features_per_object)
+            tmpl_feats = self._init_feats_per_obj(
+                self.variables, jnp.asarray(tmpl_frames), tmpl_masks)
+        else:
+            tmpl_feats = self._init_feats(self.variables,
+                                          jnp.asarray(first_frame), tmpl_masks)
         state = self.model.apply(self.variables, tmpl_masks,
                                  method=DMMNet.init_state)
+        live = None if live_from is None else jnp.asarray(live_from, jnp.int32)
         labels_out, assign_out = [], []
         buf: list = []
+        t_seen = 0
 
         def flush():
-            nonlocal state
+            nonlocal state, t_seen
             if not buf:
                 return
             k = len(buf)
@@ -238,9 +285,12 @@ class InferenceEngine:
 
             labels, X, state = self._chunk_jit(
                 self.variables, stack("frame"), stack("prop_masks"),
-                stack("prop_valid"), tmpl_feats, tmpl_valid, state)
+                stack("prop_valid"), tmpl_feats, tmpl_valid, state,
+                jnp.asarray(t_seen, jnp.int32), live,
+                tmpl_masks if live is not None else None)
             labels_out.append(np.asarray(labels[:k]))
             assign_out.append(np.asarray(X[:k]))
+            t_seen += k
             buf.clear()
 
         for item in frames_iter:

@@ -45,62 +45,76 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _matcher_kernel(tm_ref, pm_ref, tf_ref, pf_ref, rm_ref, cm_ref, x_ref,
-                    *, epsilon: float, iters: int, iou_weight: float):
-    """Kernel body. Block shapes carry a leading batch dim of 1:
-    tm (1,M,P) pm (1,N,P) tf (1,M,D) pf (1,N,D) rm (1,M) cm (1,N)
-    -> x (1,M,N). All f32 in VMEM."""
-    tm = tm_ref[0]
-    pm = pm_ref[0]
-    tf = tf_ref[0]
-    pf = pf_ref[0]
-    rm = rm_ref[0, 0, :]                   # (M,)
-    cm = cm_ref[0, 0, :]                   # (N,)
 
-    # ---- cost matrix in VMEM (two MXU matmuls + VPU tail) ----
+def _cost_block(tm, pm, tf, pf, iou_weight):
+    """Cost matrix on VMEM-resident blocks: two MXU matmuls + VPU tail."""
     inter = jax.lax.dot_general(tm, pm, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    area_t = jnp.sum(tm, axis=1, keepdims=True)          # (M, 1)
-    area_p = jnp.sum(pm, axis=1, keepdims=True).T        # (1, N)
+    area_t = jnp.sum(tm, axis=1, keepdims=True)
+    area_p = jnp.sum(pm, axis=1, keepdims=True).T
     union = jnp.maximum(area_t + area_p - inter, 1e-6)
     iou = inter / union
-
     tnorm = tf * jax.lax.rsqrt(jnp.sum(tf * tf, axis=1, keepdims=True) + 1e-12)
     pnorm = pf * jax.lax.rsqrt(jnp.sum(pf * pf, axis=1, keepdims=True) + 1e-12)
     cos = jax.lax.dot_general(tnorm, pnorm, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    return iou_weight * (1.0 - iou) + (1.0 - iou_weight) * (1.0 - cos)
 
-    C = iou_weight * (1.0 - iou) + (1.0 - iou_weight) * (1.0 - cos)
 
-    # ---- Sinkhorn in VMEM (log domain, capped column duals) ----
-    pair = (rm[:, None] * cm[None, :]) > 0.5             # (M, N) bool
-    negC = jnp.where(pair, -C / epsilon, _NEG)
+def _sinkhorn_block(C, rm, cm, *, epsilon, iters, epsilon_init=None):
+    """Log-domain capped-column Sinkhorn on a VMEM-resident (M, N) block.
+    Shared by both matcher kernels; mirrors ops/matching.sinkhorn_duals
+    including the optional geometric eps-annealing schedule."""
+    pair = (rm[:, None] * cm[None, :]) > 0.5
 
-    def logsumexp_rows(z):                               # over N -> (M, 1)
+    def lse_rows(z):
         zm = jnp.where(pair, z, _NEG)
         mx = jnp.maximum(jnp.max(zm, axis=1, keepdims=True), _NEG / 2)
-        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=1, keepdims=True)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=1,
+                    keepdims=True)
         return mx + jnp.log(jnp.maximum(s, 1e-38))
 
-    def logsumexp_cols(z):                               # over M -> (1, N)
+    def lse_cols(z):
         zm = jnp.where(pair, z, _NEG)
         mx = jnp.maximum(jnp.max(zm, axis=0, keepdims=True), _NEG / 2)
-        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=0, keepdims=True)
+        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=0,
+                    keepdims=True)
         return mx + jnp.log(jnp.maximum(s, 1e-38))
 
-    def body(_, g):                                      # g: (1, N)
-        f = -epsilon * logsumexp_rows(negC + g / epsilon)    # (M, 1)
+    if epsilon_init is not None and epsilon_init > epsilon:
+        anneal_steps = max(int(iters * 0.7), 1)
+        decay = (epsilon / epsilon_init) ** (1.0 / anneal_steps)
+    else:
+        epsilon_init, decay = epsilon, 1.0
+
+    def body(k, g):
+        eps = jnp.maximum(epsilon_init * decay ** k.astype(jnp.float32),
+                          epsilon)
+        negC = jnp.where(pair, -C / eps, _NEG)
+        f = -eps * lse_rows(negC + g / eps)
         f = jnp.where(rm[:, None] > 0.5, f, 0.0)
-        g_bal = -epsilon * logsumexp_cols(negC + f / epsilon)
-        g2 = jnp.minimum(0.0, g_bal)
+        g2 = jnp.minimum(0.0, -eps * lse_cols(negC + f / eps))
         return jnp.where(cm[None, :] > 0.5, g2, 0.0)
 
-    g = jax.lax.fori_loop(0, iters, body, jnp.zeros((1, C.shape[1]), jnp.float32))
-    f = -epsilon * logsumexp_rows(negC + g / epsilon)
+    g = jax.lax.fori_loop(0, iters, body,
+                          jnp.zeros((1, C.shape[1]), jnp.float32))
+    negC = jnp.where(pair, -C / epsilon, _NEG)
+    f = -epsilon * lse_rows(negC + g / epsilon)
     f = jnp.where(rm[:, None] > 0.5, f, 0.0)
-
     logits = (f + g - C) / epsilon
-    x_ref[0] = jnp.where(pair, jnp.exp(jnp.minimum(logits, 30.0)), 0.0)
+    return jnp.where(pair, jnp.exp(jnp.minimum(logits, 30.0)), 0.0)
+
+
+def _matcher_kernel(tm_ref, pm_ref, tf_ref, pf_ref, rm_ref, cm_ref, x_ref,
+                    *, epsilon: float, iters: int, iou_weight: float,
+                    epsilon_init=None):
+    """Kernel body. Block shapes carry a leading batch dim of 1:
+    tm (1,M,P) pm (1,N,P) tf (1,M,D) pf (1,N,D) rm (1,1,M) cm (1,1,N)
+    -> x (1,M,N). All f32 in VMEM."""
+    C = _cost_block(tm_ref[0], pm_ref[0], tf_ref[0], pf_ref[0], iou_weight)
+    x_ref[0] = _sinkhorn_block(C, rm_ref[0, 0, :], cm_ref[0, 0, :],
+                               epsilon=epsilon, iters=iters,
+                               epsilon_init=epsilon_init)
 
 
 def _pallas_forward(tm, pm, tf, pf, rm, cm, *, epsilon, iters, iou_weight,
@@ -181,78 +195,32 @@ def fused_cost_match(tmpl_masks: jnp.ndarray, prop_masks: jnp.ndarray,
 
 def _pool_matcher_kernel(emb_ref, pmask_pool_ref, tm_ref, pm_ref, tf_ref,
                          rm_ref, cm_ref, x_ref,
-                         *, epsilon: float, iters: int, iou_weight: float):
+                         *, epsilon: float, iters: int, iou_weight: float,
+                         epsilon_init=None):
     """Block shapes (leading batch dim 1):
       emb        (1, P, D)   flattened embedding map (P = h*w pixels)
       pmask_pool (1, N, P)   proposal masks at embedding resolution
       tm         (1, M, Pc)  template masks at cost resolution
       pm         (1, N, Pc)  proposal masks at cost resolution
       tf         (1, M, D)   fixed template features (pooled at frame 1)
-      rm (1, M)  cm (1, N)   validity (f32 0/1)
+      rm (1,1,M) cm (1,1,N)  validity (f32 0/1)
       -> x (1, M, N)
     """
-    emb = emb_ref[0]
+    # in-kernel mask-average pooling: (N, P) @ (P, D) on the MXU
     pmask = pmask_pool_ref[0]
-    tm = tm_ref[0]
-    pm = pm_ref[0]
-    tf = tf_ref[0]
-    rm = rm_ref[0, 0, :]
-    cm = cm_ref[0, 0, :]
-
-    # ---- in-kernel mask-average pooling: (N, P) @ (P, D) on the MXU ----
-    pooled = jax.lax.dot_general(pmask, emb, (((1,), (0,)), ((), ())),
+    pooled = jax.lax.dot_general(pmask, emb_ref[0], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     denom = jnp.maximum(jnp.sum(pmask, axis=1, keepdims=True), 1e-6)
     pf = pooled / denom
-
-    # ---- cost matrix ----
-    inter = jax.lax.dot_general(tm, pm, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    area_t = jnp.sum(tm, axis=1, keepdims=True)
-    area_p = jnp.sum(pm, axis=1, keepdims=True).T
-    union = jnp.maximum(area_t + area_p - inter, 1e-6)
-    iou = inter / union
-
-    tnorm = tf * jax.lax.rsqrt(jnp.sum(tf * tf, axis=1, keepdims=True) + 1e-12)
-    pnorm = pf * jax.lax.rsqrt(jnp.sum(pf * pf, axis=1, keepdims=True) + 1e-12)
-    cos = jax.lax.dot_general(tnorm, pnorm, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    C = iou_weight * (1.0 - iou) + (1.0 - iou_weight) * (1.0 - cos)
-
-    # ---- Sinkhorn (identical recursion to _matcher_kernel) ----
-    pair = (rm[:, None] * cm[None, :]) > 0.5
-    negC = jnp.where(pair, -C / epsilon, _NEG)
-
-    def lse_rows(z):
-        zm = jnp.where(pair, z, _NEG)
-        mx = jnp.maximum(jnp.max(zm, axis=1, keepdims=True), _NEG / 2)
-        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=1,
-                    keepdims=True)
-        return mx + jnp.log(jnp.maximum(s, 1e-38))
-
-    def lse_cols(z):
-        zm = jnp.where(pair, z, _NEG)
-        mx = jnp.maximum(jnp.max(zm, axis=0, keepdims=True), _NEG / 2)
-        s = jnp.sum(jnp.where(pair, jnp.exp(zm - mx), 0.0), axis=0,
-                    keepdims=True)
-        return mx + jnp.log(jnp.maximum(s, 1e-38))
-
-    def body(_, g):
-        f = -epsilon * lse_rows(negC + g / epsilon)
-        f = jnp.where(rm[:, None] > 0.5, f, 0.0)
-        g2 = jnp.minimum(0.0, -epsilon * lse_cols(negC + f / epsilon))
-        return jnp.where(cm[None, :] > 0.5, g2, 0.0)
-
-    g = jax.lax.fori_loop(0, iters, body,
-                          jnp.zeros((1, C.shape[1]), jnp.float32))
-    f = -epsilon * lse_rows(negC + g / epsilon)
-    f = jnp.where(rm[:, None] > 0.5, f, 0.0)
-    logits = (f + g - C) / epsilon
-    x_ref[0] = jnp.where(pair, jnp.exp(jnp.minimum(logits, 30.0)), 0.0)
+    C = _cost_block(tm_ref[0], pm_ref[0], tf_ref[0], pf, iou_weight)
+    x_ref[0] = _sinkhorn_block(C, rm_ref[0, 0, :], cm_ref[0, 0, :],
+                               epsilon=epsilon, iters=iters,
+                               epsilon_init=epsilon_init)
 
 
 def _pool_cost_match_reference(emb, pmask_pool, tm, pm, tf, rm, cm,
-                               epsilon, iters, iou_weight):
+                               epsilon, iters, iou_weight,
+                               epsilon_init=None):
     """Pure-jnp reference of the fused kernel (used for the backward pass
     and for parity tests). Shapes as in fused_pool_cost_match."""
     from dmm_net_tpu.ops.cost import cost_matrix
@@ -266,19 +234,22 @@ def _pool_cost_match_reference(emb, pmask_pool, tm, pm, tf, rm, cm,
     pf = pooled / denom
     C = cost_matrix(tm, pm, tf, pf, row_mask=rm_b, col_mask=cm_b,
                     iou_weight=iou_weight)
-    return sinkhorn_match(C, rm_b, cm_b, epsilon=epsilon, iters=iters)
+    return sinkhorn_match(C, rm_b, cm_b, epsilon=epsilon, iters=iters,
+                          epsilon_init=epsilon_init)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10))
+                   nondiff_argnums=(7, 8, 9, 10, 11))
 def _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
-                           epsilon, iters, iou_weight, interpret):
+                           epsilon, iters, iou_weight, interpret,
+                           epsilon_init):
     B, P, D = emb.shape
     N = pmask_pool.shape[1]
     M = tm.shape[1]
     Pc = tm.shape[2]
     kern = functools.partial(_pool_matcher_kernel, epsilon=epsilon,
-                             iters=iters, iou_weight=iou_weight)
+                             iters=iters, iou_weight=iou_weight,
+                             epsilon_init=epsilon_init)
 
     def im3(i):
         return (i, 0, 0)
@@ -302,20 +273,22 @@ def _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
 
 
 def _fpcm_fwd(emb, pmask_pool, tm, pm, tf, rm, cm,
-              epsilon, iters, iou_weight, interpret):
+              epsilon, iters, iou_weight, interpret, epsilon_init):
     X = _fused_pool_cost_match(emb, pmask_pool, tm, pm, tf, rm, cm,
-                               epsilon, iters, iou_weight, interpret)
+                               epsilon, iters, iou_weight, interpret,
+                               epsilon_init)
     return X, (emb, pmask_pool, tm, pm, tf, rm, cm)
 
 
-def _fpcm_bwd(epsilon, iters, iou_weight, interpret, res, gX):
+def _fpcm_bwd(epsilon, iters, iou_weight, interpret, epsilon_init, res, gX):
     """Exact gradients by differentiating the jnp reference recompute —
     forward stays fused on-chip, backward pays one extra (non-fused)
     forward. Standard fused-kernel-with-reference-vjp pattern."""
     emb, pmask_pool, tm, pm, tf, rm, cm = res
     _, vjp = jax.vjp(
         lambda e, pp, a, b, c: _pool_cost_match_reference(
-            e, pp, a, b, c, rm, cm, epsilon, iters, iou_weight),
+            e, pp, a, b, c, rm, cm, epsilon, iters, iou_weight,
+            epsilon_init),
         emb, pmask_pool, tm, pm, tf)
     d_emb, d_pp, d_tm, d_pm, d_tf = vjp(gX)
     return d_emb, d_pp, d_tm, d_pm, d_tf, None, None
@@ -331,7 +304,8 @@ def fused_pool_cost_match(emb: jnp.ndarray, prop_masks_pool: jnp.ndarray,
                           row_mask: jnp.ndarray, col_mask: jnp.ndarray,
                           epsilon: float = 0.05, iters: int = 30,
                           iou_weight: float = 0.3,
-                          interpret: bool | None = None) -> jnp.ndarray:
+                          interpret: bool | None = None,
+                          epsilon_init: float | None = None) -> jnp.ndarray:
     """Feature pooling + cost + Sinkhorn in ONE Pallas kernel.
 
     Args:
@@ -369,5 +343,6 @@ def fused_pool_cost_match(emb: jnp.ndarray, prop_masks_pool: jnp.ndarray,
     cm = jnp.pad(col_mask.astype(jnp.float32), ((0, 0), (0, Np - N)))
 
     X = _fused_pool_cost_match(emb_p, pmp, tmc, pmc, tfp, rm, cm,
-                               epsilon, iters, iou_weight, interpret)
+                               epsilon, iters, iou_weight, interpret,
+                               epsilon_init)
     return X[:, :M, :N]

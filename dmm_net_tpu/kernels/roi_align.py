@@ -29,6 +29,7 @@ def _interp_rows(start, size, out: int, s: int, dim: int):
     (no one_hot gather — compare-based, VPU-friendly)."""
     pos = start + (jax.lax.broadcasted_iota(jnp.float32, (out * s, 1), 0)
                    + 0.5) / (out * s) * jnp.maximum(size, 1e-3) - 0.5
+    pos = jnp.clip(pos, 0.0, dim - 1.0)   # border clamp (torch semantics)
     p0 = jnp.floor(pos)
     d = pos - p0                                           # (out*s, 1)
     cols = jax.lax.broadcasted_iota(jnp.float32, (out * s, dim), 1)

@@ -109,7 +109,8 @@ class RefinementDecoder(nn.Module):
             # carry stays f32 so scan carries have a stable dtype under bf16
             new_state = x.reshape((B, M) + h32 + (f,)).astype(jnp.float32)
         else:
-            new_state = jnp.zeros((B, M) + h32 + (f,), self.dtype)
+            # f32 like the recurrent branch: scan carries need stable dtypes
+            new_state = jnp.zeros((B, M) + h32 + (f,), jnp.float32)
 
         for level in ("c4", "c3", "c2"):
             skip = fold(feats[level]).astype(self.dtype)

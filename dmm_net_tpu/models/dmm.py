@@ -105,10 +105,12 @@ class DMMNet(nn.Module):
                              step=cfg.matching.pgd_step,
                              pgd_iters=cfg.matching.pgd_iters,
                              dykstra_iters=cfg.matching.dykstra_iters)
+        eps_init = cfg.matching.epsilon_init or None
         return sinkhorn_match(C, row_mask, col_mask,
                               epsilon=cfg.matching.epsilon,
                               iters=cfg.matching.sinkhorn_iters,
-                              implicit_grad=cfg.matching.implicit_grad)
+                              implicit_grad=cfg.matching.implicit_grad,
+                              epsilon_init=eps_init)
 
     @staticmethod
     def aggregate(X: jnp.ndarray, prop_masks: jnp.ndarray,
@@ -122,14 +124,20 @@ class DMMNet(nn.Module):
     def __call__(self, frame: jnp.ndarray,
                  prop_masks: jnp.ndarray, prop_valid: jnp.ndarray,
                  tmpl_feats: jnp.ndarray, tmpl_valid: jnp.ndarray,
-                 state: FrameState) -> Tuple[FrameOutput, FrameState]:
+                 state: FrameState,
+                 feats: Dict[str, jnp.ndarray] | None = None
+                 ) -> Tuple[FrameOutput, FrameState]:
         """One frame step.
 
         frame (B, H, W, 3) normalized RGB; prop_masks (B, N, H, W) in [0,1];
         prop_valid (B, N) bool; tmpl_feats (B, M, D) fixed frame-1 features;
         tmpl_valid (B, M) bool; state carries template masks + decoder state.
+        feats: optionally precomputed extract_features(frame) — callers that
+        already ran the backbone on this frame (e.g. template pooling on
+        frame 0 of a training clip) pass it to avoid a second backbone pass.
         """
-        feats = self.extract_features(frame)
+        if feats is None:
+            feats = self.extract_features(frame)
         cfg = self.config
         if cfg.matching.use_pallas:
             # fused Pallas path: pooling + cost + Sinkhorn in ONE kernel
@@ -150,7 +158,8 @@ class DMMNet(nn.Module):
                 tmpl_feats, tmpl_valid, prop_valid,
                 epsilon=cfg.matching.epsilon,
                 iters=cfg.matching.sinkhorn_iters,
-                iou_weight=cfg.cost.iou_weight)
+                iou_weight=cfg.cost.iou_weight,
+                epsilon_init=cfg.matching.epsilon_init or None)
         else:
             prop_feats = self.pool_mask_features(feats, prop_masks)
             X = self.match_step(state.template_masks, prop_masks,

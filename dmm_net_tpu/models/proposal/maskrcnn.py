@@ -276,8 +276,10 @@ def paste_masks(masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
     y1 = boxes[:, 1][:, None, None]
     bw = jnp.maximum(boxes[:, 2][:, None, None] - x1, 1e-3)
     bh = jnp.maximum(boxes[:, 3][:, None, None] - y1, 1e-3)
-    u = (xs - x1) / bw * mw - 0.5                            # (D, H, W)
-    v = (ys - y1) / bh * mh - 0.5
+    # pixel i's center is i + 0.5 (same convention as roi_align /
+    # crop_gt_mask); sampling at the raw index shifts masks 0.5px
+    u = (xs + 0.5 - x1) / bw * mw - 0.5                      # (D, H, W)
+    v = (ys + 0.5 - y1) / bh * mh - 0.5
     inside = (u > -0.5) & (u < mw - 0.5) & (v > -0.5) & (v < mh - 0.5)
     u0 = jnp.clip(jnp.floor(u), 0, mw - 1)
     v0 = jnp.clip(jnp.floor(v), 0, mh - 1)

@@ -158,13 +158,15 @@ def pgd_match(C: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("solver", "epsilon", "iters", "implicit_grad",
-                                   "step", "pgd_iters", "dykstra_iters"))
+                                   "step", "pgd_iters", "dykstra_iters",
+                                   "epsilon_init"))
 def match(C: jnp.ndarray,
           row_mask: Optional[jnp.ndarray] = None,
           col_mask: Optional[jnp.ndarray] = None,
           solver: str = "sinkhorn",
           epsilon: float = 0.05, iters: int = 30, implicit_grad: bool = False,
-          step: float = 0.1, pgd_iters: int = 20, dykstra_iters: int = 10
+          step: float = 0.1, pgd_iters: int = 20, dykstra_iters: int = 10,
+          epsilon_init: Optional[float] = None
           ) -> jnp.ndarray:
     """Unified matching entry point. Masks default to all-valid."""
     if row_mask is None:
@@ -173,7 +175,8 @@ def match(C: jnp.ndarray,
         col_mask = jnp.ones(C.shape[:-2] + C.shape[-1:], dtype=bool)
     if solver == "sinkhorn":
         return sinkhorn_match(C, row_mask, col_mask, epsilon=epsilon,
-                              iters=iters, implicit_grad=implicit_grad)
+                              iters=iters, implicit_grad=implicit_grad,
+                              epsilon_init=epsilon_init)
     if solver == "pgd":
         return pgd_match(C, row_mask, col_mask, step=step,
                          pgd_iters=pgd_iters, dykstra_iters=dykstra_iters)

@@ -69,9 +69,13 @@ def roi_align(feats: jnp.ndarray, boxes: jnp.ndarray,
     # sample grid: (out, s) offsets within the box, half-pixel aligned
     gx = (jnp.arange(out_w)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)
     gy = (jnp.arange(out_h)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)
-    # absolute coords: (K, out, s)
+    # absolute coords: (K, out, s); clamp sample positions to the map so
+    # border boxes put full weight on the edge pixel (torch aligned
+    # semantics — clamping only the *indices* would leak weight inward)
     sx = x1[:, None, None] + gx[None] * cell_w[:, None, None] - 0.5
     sy = y1[:, None, None] + gy[None] * cell_h[:, None, None] - 0.5
+    sx = jnp.clip(sx, 0.0, W - 1.0)
+    sy = jnp.clip(sy, 0.0, H - 1.0)
 
     def bilinear(yy, xx):
         """yy: (K, out_h, s), xx: (K, out_w, s) -> (K, out_h, s, out_w, s, C)"""
@@ -129,6 +133,7 @@ def _interp_matrix(start: jnp.ndarray, size: jnp.ndarray, out: int, s: int,
     bilinear sample points of each output cell (aligned=True semantics)."""
     pos = start + (jnp.arange(out * s) + 0.5) / (out * s) * \
         jnp.maximum(size, 1e-3) - 0.5
+    pos = jnp.clip(pos, 0.0, dim - 1.0)   # border clamp (torch semantics)
     p0 = jnp.floor(pos)
     d = pos - p0
     p0c = jnp.clip(p0.astype(jnp.int32), 0, dim - 1)

@@ -95,14 +95,19 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
 
     state = model.apply(variables, batch["tmpl_masks"], method=DMMNet.init_state)
 
-    def frame_apply(st, frame, pmask, pvalid):
+    def frame_apply(st, frame, pmask, pvalid, feats=None):
         return model.apply(variables, frame, pmask, pvalid,
-                           tmpl_feats, batch["tmpl_valid"], st)
+                           tmpl_feats, batch["tmpl_valid"], st, feats)
 
     if cfg.train.remat:
         # recompute frame activations in the backward pass: clip-BPTT
         # memory becomes O(1 frame) instead of O(T frames)
         frame_apply = jax.checkpoint(frame_apply)
+
+    # frame 0 reuses feats1 (its backbone pass already ran for template
+    # pooling); the scan covers frames 1..T-1
+    out0, state = frame_apply(state, frames[:, 0], batch["prop_masks"][:, 0],
+                              batch["prop_valid"][:, 0], feats1)
 
     def step(carry, xs):
         st = carry
@@ -110,11 +115,15 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
         out, new_st = frame_apply(st, frame, pmask, pvalid)
         return new_st, out.logits
 
-    xs = (jnp.moveaxis(frames, 1, 0),
-          jnp.moveaxis(batch["prop_masks"], 1, 0),
-          jnp.moveaxis(batch["prop_valid"], 1, 0))
-    _, logits_t = jax.lax.scan(step, state, xs)
-    logits = jnp.moveaxis(logits_t, 0, 1)                 # (B, T, M, H, W)
+    if T > 1:
+        xs = (jnp.moveaxis(frames[:, 1:], 1, 0),
+              jnp.moveaxis(batch["prop_masks"][:, 1:], 1, 0),
+              jnp.moveaxis(batch["prop_valid"][:, 1:], 1, 0))
+        _, logits_t = jax.lax.scan(step, state, xs)
+        logits = jnp.concatenate(
+            [out0.logits[:, None], jnp.moveaxis(logits_t, 0, 1)], axis=1)
+    else:
+        logits = out0.logits[:, None]                     # (B, 1, M, H, W)
     loss = clip_loss(logits, batch["gt_masks"], batch["tmpl_valid"],
                      bce_weight=cfg.train.loss_bce_weight,
                      iou_weight=cfg.train.loss_iou_weight)

@@ -31,7 +31,11 @@ def soft_iou_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     inter = jnp.sum(p * t, axis=(-2, -1))
     union = jnp.sum(p + t - p * t, axis=(-2, -1))
     iou = inter / jnp.maximum(union, eps)
-    v = valid.astype(jnp.float32)
+    # empty-GT frames (object occluded / not yet present) have inter == 0
+    # with zero gradient — a constant 1 that only mis-scales the loss; BCE
+    # supervises those pixels, so mask them out of the IoU term
+    nonempty = (jnp.sum(t, axis=(-2, -1)) > 0).astype(jnp.float32)
+    v = valid.astype(jnp.float32) * nonempty
     return jnp.sum((1.0 - iou) * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 

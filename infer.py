@@ -117,10 +117,12 @@ def main():
         sd = ds.sequence_stream(seq_name)
         stream = RingStager(sd["frames"], depth=2)
         if args.dataset == "ytvos":
-            # chunked-scan streaming (config #4): one dispatch per K frames
+            # chunked-scan streaming (config #4): one dispatch per K frames;
+            # live_from/tmpl_frames gate mid-video objects correctly
             res = engine.run_stream_chunked(
                 iter(stream), sd["tmpl_masks"], sd["tmpl_valid"],
-                sd["first_frame"], chunk=args.chunk)
+                sd["first_frame"], chunk=args.chunk,
+                live_from=sd["live_from"], tmpl_frames=sd["tmpl_frames"])
             labels = res["labels"][:, 0]
             total_frames += labels.shape[0]
             from dmm_net_tpu.data.ytvos import write_submission

@@ -143,3 +143,28 @@ def test_uint8_frames_are_normalized_on_device():
                          method=DMMNet.extract_features)
     np.testing.assert_allclose(np.asarray(f_u8["emb"]),
                                np.asarray(f_norm["emb"]), atol=1e-5)
+
+
+def test_live_from_gates_mid_video_objects():
+    """An object whose live_from is frame 2 must produce no labels before
+    frame 2, and its template mask must stay pinned until then."""
+    cfg, model, variables, seq, tmpl_masks, tmpl_valid = _setup(T=5)
+    engine = InferenceEngine(cfg, model=model, variables=variables,
+                             update_templates=True)
+    live = np.zeros((1, 4), np.int32)
+    live[0, 1] = 2  # object in slot 1 appears at frame 2
+    res = engine.run_stream_chunked(
+        ({"frame": seq["frames"][t][None],
+          "prop_masks": seq["prop_masks"][t][None],
+          "prop_valid": seq["prop_valid"][t][None]} for t in range(5)),
+        tmpl_masks, tmpl_valid, seq["frames"][0][None], chunk=2,
+        live_from=live)
+    labels = res["labels"][:, 0]
+    # label id 2 (slot 1) absent before frame 2
+    assert not (labels[:2] == 2).any()
+    # assignments for slot 1 zero before frame 2, nonzero after
+    X = res["assignments"][:, 0]
+    assert (X[:2, 1] == 0).all()
+    assert X[2:, 1].sum() > 0.5
+    # slot 0 (live from 0) behaves as usual
+    assert (labels == 1).any()

@@ -115,7 +115,8 @@ def test_ytvos_reader_smoke(tmp_path):
     sd = ds.sequence_stream(vid)
     assert sd["object_ids"] == [1, 2]
     assert sd["tmpl_valid"][0, :2].tolist() == [True, True]
-    assert list(sd["live_from"][:2]) == [0, 5]
+    assert list(sd["live_from"][0, :2]) == [0, 5]
+    assert sd["tmpl_frames"].shape == (1, 4, 64, 96, 3)
     items = list(sd["frames"])
     assert len(items) == 6
     assert items[0]["prop_valid"].any()
