@@ -113,3 +113,19 @@ def test_infer_cli_ytvos_submission(tmp_path):
     assert pngs == ["00000.png", "00005.png"]
     im = np.asarray(Image.open(os.path.join(out, "Annotations", vid, pngs[0])))
     assert im.shape == (60, 100) or im.shape == (64, 96)
+
+
+@pytest.mark.slow
+def test_train_cli_resume(tmp_path):
+    """Train 2 steps, resume for 2 more: the resumed run must pick up the
+    checkpoint step and finish at step 4."""
+    args = ["train.py", "--preset", "p5_train", "--logdir",
+            str(tmp_path / "run"), "--set", "data.dataset=synthetic",
+            "data.batch_size=1", "data.clip_length=2",
+            "train.checkpoint_every=1000"] + TINY
+    r1 = _run(args + ["--steps", "2"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(args + ["--steps", "4", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed at step 2" in (r2.stderr + r2.stdout)
+    assert "done at step 4" in (r2.stderr + r2.stdout)

@@ -50,10 +50,18 @@ def main():
     n_data = args.data_parallel or len(jax.devices())
     mesh = make_mesh(data=n_data) if n_data > 1 else None
 
+    # resume discovery must happen before the stream is built so the data
+    # pipeline fast-forwards to exactly where the checkpoint left off
+    # (deterministic stream position == exact resume, SURVEY.md §6)
+    start_step = 0
+    ckpt = Checkpointer(os.path.join(args.logdir, "ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        start_step = int(ckpt.latest_step())
+
     H, W = cfg.model.image_size
     if cfg.data.dataset == "synthetic":
         def batches():
-            i = 0
+            i = start_step
             while i < steps:
                 yield {k: np.asarray(v) for k, v in synthetic_clip_batch(
                     seed=i, batch=cfg.data.batch_size, T=cfg.data.clip_length,
@@ -71,15 +79,18 @@ def main():
                           max_proposals=cfg.matching.max_proposals)
         if not ds.sequences:
             raise SystemExit(f"no DAVIS data under {cfg.data.root}")
-        gen = ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length)
+        # seed offset by the resume step: the RNG stream position is a pure
+        # function of the step, so resumed runs see fresh, reproducible data
+        gen = ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length,
+                              seed=cfg.train.seed + start_step)
         import itertools
-        stream = itertools.islice(gen, steps)
-        sample = next(ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length))
+        stream = itertools.islice(gen, max(steps - start_step, 0))
+        sample = next(ds.clip_batches(cfg.data.batch_size,
+                                      cfg.data.clip_length))
     else:
         raise SystemExit(f"dataset {cfg.data.dataset} not wired for training yet")
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed), sample)
-    ckpt = Checkpointer(os.path.join(args.logdir, "ckpt"))
     if args.resume:
         state = ckpt.restore(state)
         log.info("resumed at step %d", int(state.step))
