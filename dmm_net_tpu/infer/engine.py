@@ -64,18 +64,53 @@ def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
     return jnp.argmax(stacked, axis=1).astype(jnp.int32)
 
 
+_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def bucket_objects(count: int, m_max: int) -> int:
+    """Smallest bucket size >= count (capped at m_max). The decoder's cost
+    is linear in the padded object count M, and most real sequences have
+    <= 4 objects while M_max is 16 — per-sequence bucketing cuts decoder
+    work ~4x without dynamic shapes (one cached compile per bucket)."""
+    for b in _BUCKETS:
+        if b >= max(count, 1):
+            return min(b, m_max)
+    return m_max
+
+
 class InferenceEngine:
     """Streaming per-sequence inference."""
 
     def __init__(self, cfg: Config, model: Optional[DMMNet] = None,
-                 variables=None, update_templates: bool = True):
+                 variables=None, update_templates: bool = True,
+                 bucket_templates: bool = True):
         self.cfg = cfg
         self.model = model or DMMNet(cfg)
         self.variables = variables
         self.update_templates = update_templates
+        self.bucket_templates = bucket_templates
         self._step = jax.jit(self._frame_step)
         self._step_compact = jax.jit(self._frame_step_compact)
         self._init_feats = jax.jit(self._template_features)
+
+    def _bucket_slice(self, tmpl_masks, tmpl_valid, extras=()):
+        """Slice template arrays down to the active-object bucket. Valid
+        slots must be contiguous from 0 (all readers construct them so).
+        Returns (M_b, sliced tmpl_masks, sliced tmpl_valid, sliced extras)."""
+        M = tmpl_valid.shape[1]
+        if not self.bucket_templates:
+            return M, tmpl_masks, tmpl_valid, extras
+        count = int(np.asarray(tmpl_valid).sum(axis=1).max())
+        valid_np = np.asarray(tmpl_valid)
+        # bucketing requires contiguous validity; fall back otherwise
+        if not all((v[:v.sum()].all() and not v[v.sum():].any())
+                   for v in valid_np):
+            return M, tmpl_masks, tmpl_valid, extras
+        M_b = bucket_objects(count, M)
+        if M_b >= M:
+            return M, tmpl_masks, tmpl_valid, extras
+        return (M_b, tmpl_masks[:, :M_b], tmpl_valid[:, :M_b],
+                tuple(None if e is None else e[:, :M_b] for e in extras))
 
     # -- jitted pieces ----------------------------------------------------
     def _template_features(self, variables, frame0, tmpl_masks):
@@ -132,8 +167,11 @@ class InferenceEngine:
           {"frame": ..., "prop_boxes": (B,N,4), "prop_masks28": (B,N,mh,mw),
            "prop_valid": (B,N)}.
         tmpl_* come from frame 1 GT. Returns stacked labels (T, B, H, W)
-        and assignments."""
+        and assignments (padded back to M_max when bucketing is active)."""
         variables = self.variables
+        M_full = tmpl_valid.shape[1]
+        _, tmpl_masks, tmpl_valid, _ = self._bucket_slice(
+            np.asarray(tmpl_masks), np.asarray(tmpl_valid))
         tmpl_masks = jnp.asarray(tmpl_masks)
         tmpl_valid = jnp.asarray(tmpl_valid)
         tmpl_feats = self._init_feats(variables, jnp.asarray(first_frame),
@@ -157,8 +195,12 @@ class InferenceEngine:
                     tmpl_feats, tmpl_valid, state)
             labels_out.append(np.asarray(labels))
             assign_out.append(np.asarray(X))
-        return {"labels": np.stack(labels_out),
-                "assignments": np.stack(assign_out)}
+        assignments = np.stack(assign_out)
+        if assignments.shape[2] < M_full:   # pad bucketed slots back
+            assignments = np.pad(assignments, ((0, 0), (0, 0),
+                                               (0, M_full - assignments.shape[2]),
+                                               (0, 0)))
+        return {"labels": np.stack(labels_out), "assignments": assignments}
 
     # -- chunked-scan streaming (config #4: long YT-VOS sequences) --------
     def _chunk_step(self, variables, frames, prop_masks, prop_valid,
@@ -252,6 +294,10 @@ class InferenceEngine:
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(self._chunk_step,
                                       static_argnames=())
+        M_full = tmpl_valid.shape[1]
+        _, tmpl_masks, tmpl_valid, (live_from, tmpl_frames) = \
+            self._bucket_slice(np.asarray(tmpl_masks), np.asarray(tmpl_valid),
+                               extras=(live_from, tmpl_frames))
         tmpl_masks = jnp.asarray(tmpl_masks)
         tmpl_valid = jnp.asarray(tmpl_valid)
         if tmpl_frames is not None:
@@ -298,8 +344,13 @@ class InferenceEngine:
             if len(buf) == chunk:
                 flush()
         flush()
+        assignments = np.concatenate(assign_out)
+        if assignments.shape[2] < M_full:   # pad bucketed slots back
+            assignments = np.pad(assignments, ((0, 0), (0, 0),
+                                               (0, M_full - assignments.shape[2]),
+                                               (0, 0)))
         return {"labels": np.concatenate(labels_out),
-                "assignments": np.concatenate(assign_out)}
+                "assignments": assignments}
 
     @staticmethod
     def write_png(labels: np.ndarray, path: str) -> None:

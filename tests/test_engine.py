@@ -168,3 +168,39 @@ def test_live_from_gates_mid_video_objects():
     assert X[2:, 1].sum() > 0.5
     # slot 0 (live from 0) behaves as usual
     assert (labels == 1).any()
+
+
+def test_bucket_objects_sizes():
+    from dmm_net_tpu.infer.engine import bucket_objects
+    assert bucket_objects(0, 16) == 1
+    assert bucket_objects(1, 16) == 1
+    assert bucket_objects(2, 16) == 2
+    assert bucket_objects(3, 16) == 4
+    assert bucket_objects(5, 16) == 8
+    assert bucket_objects(9, 16) == 16
+    assert bucket_objects(20, 16) == 16
+
+
+def test_bucketing_preserves_outputs():
+    """Engine with bucketing (M_b=2) must produce the same labels and
+    (padded) assignments as without."""
+    cfg, model, variables, seq, tmpl_masks, tmpl_valid = _setup(T=4)
+
+    def stream():
+        for t in range(4):
+            yield {"frame": seq["frames"][t][None],
+                   "prop_masks": seq["prop_masks"][t][None],
+                   "prop_valid": seq["prop_valid"][t][None]}
+
+    e_full = InferenceEngine(cfg, model=model, variables=variables,
+                             bucket_templates=False)
+    e_bkt = InferenceEngine(cfg, model=model, variables=variables,
+                            bucket_templates=True)
+    r_full = e_full.run_sequence(stream(), tmpl_masks, tmpl_valid,
+                                 seq["frames"][0][None])
+    r_bkt = e_bkt.run_sequence(stream(), tmpl_masks, tmpl_valid,
+                               seq["frames"][0][None])
+    np.testing.assert_array_equal(r_full["labels"], r_bkt["labels"])
+    assert r_bkt["assignments"].shape == r_full["assignments"].shape
+    np.testing.assert_allclose(r_full["assignments"], r_bkt["assignments"],
+                               atol=1e-5)
