@@ -111,14 +111,36 @@ def evaluate_sequence(gt_masks: np.ndarray, pred_masks: np.ndarray,
 
     T = gt_stack.shape[0]
     frames = range(1, T - 1) if (exclude_first_last and T > 2) else range(T)
+
+    def _recall(xs, th=0.5):
+        return float(np.mean([x > th for x in xs])) if xs else 1.0
+
+    def _decay(xs, n_bins=4):
+        """Official decay statistic: performance drop from the first to the
+        last quarter of the sequence."""
+        if len(xs) < n_bins:
+            return 0.0
+        ids = np.round(np.linspace(1, len(xs), n_bins + 1) + 1e-10) - 1
+        ids = ids.astype(np.uint8)
+        bins = [np.asarray(xs)[ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
+        means = [b.mean() if b.size else 0.0 for b in bins]
+        return float(means[0] - means[3])
+
     J_per, F_per = [], []
+    J_rec, J_dec, F_rec, F_dec = [], [], [], []
     for k in range(gt_stack.shape[1]):
         js = [db_eval_iou(gt_stack[t, k], pred_stack[t, k]) for t in frames]
         fs = [db_eval_boundary(gt_stack[t, k], pred_stack[t, k]) for t in frames]
         J_per.append(float(np.mean(js)) if js else 1.0)
         F_per.append(float(np.mean(fs)) if fs else 1.0)
+        J_rec.append(_recall(js))
+        F_rec.append(_recall(fs))
+        J_dec.append(_decay(js))
+        F_dec.append(_decay(fs))
     J = float(np.mean(J_per))
     F = float(np.mean(F_per))
     return {"J": J, "F": F, "J&F": (J + F) / 2,
+            "J_recall": float(np.mean(J_rec)), "J_decay": float(np.mean(J_dec)),
+            "F_recall": float(np.mean(F_rec)), "F_decay": float(np.mean(F_dec)),
             "J_per_object": J_per, "F_per_object": F_per,
             "object_ids": object_ids}

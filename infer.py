@@ -162,7 +162,9 @@ def main():
             r = evaluate_sequence(gt_mapped, labels[:gt_mapped.shape[0]],
                                   object_ids=list(
                                       range(1, len(sd["object_ids"]) + 1)))
-            results[seq_name] = {k: r[k] for k in ("J", "F", "J&F")}
+            results[seq_name] = {k: r[k] for k in
+                                 ("J", "F", "J&F", "J_recall", "J_decay",
+                                  "F_recall", "F_decay")}
             log.info("%s: J&F=%.3f", seq_name, r["J&F"])
     dt = time.time() - t_start
     summary = {

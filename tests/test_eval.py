@@ -93,3 +93,23 @@ def test_ytvos_local_scorer():
     assert 0.4 < s["overall"]["G"] < 0.6
     s2 = summarize({"v": res}, seen_categories={"v": [1]})
     assert s2["seen"]["G"] == 1.0 and s2["unseen"]["G"] < 0.1
+
+
+def test_recall_and_decay_statistics():
+    T, H, W = 10, 32, 32
+    gt = np.zeros((T, H, W), np.int32)
+    gt[:, 5:20, 5:20] = 1
+    # prediction degrades over time: full box early, shrinking late
+    pred = np.zeros_like(gt)
+    for t in range(T):
+        sz = 15 - t  # 15 down to 6
+        pred[t, 5:5 + sz, 5:5 + sz] = 1
+    res = evaluate_sequence(gt, pred)
+    assert 0 < res["J"] < 1
+    # decay positive: early frames better than late
+    assert res["J_decay"] > 0.1
+    # recall: fraction of frames with J > 0.5
+    assert 0 <= res["J_recall"] <= 1
+    # perfect prediction: recall 1, decay 0
+    r2 = evaluate_sequence(gt, gt)
+    assert r2["J_recall"] == 1.0 and abs(r2["J_decay"]) < 1e-9
