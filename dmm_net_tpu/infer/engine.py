@@ -61,7 +61,8 @@ def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
     B, M, H, W = masked.shape
     bg = jnp.full((B, 1, H, W), bg_logit, masked.dtype)
     stacked = jnp.concatenate([bg, masked], axis=1)
-    return jnp.argmax(stacked, axis=1).astype(jnp.int32)
+    # uint8: labels fit (M <= 255) and the D2H label stream shrinks 4x
+    return jnp.argmax(stacked, axis=1).astype(jnp.uint8)
 
 
 _BUCKETS = (1, 2, 4, 8, 16, 32)
@@ -193,8 +194,13 @@ class InferenceEngine:
                     jnp.asarray(item["prop_masks"]),
                     jnp.asarray(item["prop_valid"]),
                     tmpl_feats, tmpl_valid, state)
-            labels_out.append(np.asarray(labels))
-            assign_out.append(np.asarray(X))
+            # keep device arrays: converting per frame would block on D2H
+            # every step and serialize dispatch; one sync at the end lets
+            # the per-frame dispatches pipeline
+            labels_out.append(labels)
+            assign_out.append(X)
+        labels_out = [np.asarray(x) for x in labels_out]
+        assign_out = [np.asarray(x) for x in assign_out]
         assignments = np.stack(assign_out)
         if assignments.shape[2] < M_full:   # pad bucketed slots back
             assignments = np.pad(assignments, ((0, 0), (0, 0),
@@ -235,6 +241,40 @@ class InferenceEngine:
         t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0
         (state, _), (labels, X) = jax.lax.scan(
             step, (state, t_start), (frames, prop_masks, prop_valid))
+        return labels, X, state
+
+    def _chunk_step_compact(self, variables, frames, prop_boxes, prop_masks28,
+                            prop_valid, tmpl_feats, tmpl_valid, state,
+                            t0=None, live_from=None, tmpl_masks0=None):
+        """Compact-proposal chunk scan: boxes + 28x28 masks cross the host
+        boundary (~0.4 MB/frame vs ~58 MB full-res); pasting happens inside
+        the scan. With K-frame chunks this is ONE H2D batch per K frames —
+        the production streaming configuration (config #4)."""
+        from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
+        H, W = self.cfg.model.image_size
+        gated = live_from is not None
+
+        def step(carry, xs):
+            st, t = carry
+            frame, boxes, m28, pvalid = xs
+            pmask = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W)))(
+                m28.astype(jnp.float32), boxes, pvalid)
+            valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
+            out, new_st = self.model.apply(variables, frame, pmask, pvalid,
+                                           tmpl_feats, valid_t, st)
+            labels = resolve_overlaps(out.logits, valid_t)
+            if not self.update_templates:
+                new_st = new_st._replace(template_masks=st.template_masks)
+            elif gated:
+                live_px = valid_t[..., None, None]
+                new_st = new_st._replace(template_masks=jnp.where(
+                    live_px, new_st.template_masks, tmpl_masks0))
+            return (new_st, t + 1), (labels, out.assignment)
+
+        t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0
+        (state, _), (labels, X) = jax.lax.scan(
+            step, (state, t_start),
+            (frames, prop_boxes, prop_masks28, prop_valid))
         return labels, X, state
 
     def run_sequence_chunked(self, frames: np.ndarray, prop_masks: np.ndarray,
@@ -316,8 +356,10 @@ class InferenceEngine:
         buf: list = []
         t_seen = 0
 
+        compact_jit = None
+
         def flush():
-            nonlocal state, t_seen
+            nonlocal state, t_seen, compact_jit
             if not buf:
                 return
             k = len(buf)
@@ -329,13 +371,26 @@ class InferenceEngine:
                                 mode="edge")
                 return jnp.asarray(xs)
 
-            labels, X, state = self._chunk_jit(
-                self.variables, stack("frame"), stack("prop_masks"),
-                stack("prop_valid"), tmpl_feats, tmpl_valid, state,
-                jnp.asarray(t_seen, jnp.int32), live,
-                tmpl_masks if live is not None else None)
-            labels_out.append(np.asarray(labels[:k]))
-            assign_out.append(np.asarray(X[:k]))
+            if "prop_boxes" in buf[0]:
+                if compact_jit is None:
+                    if not hasattr(self, "_chunk_compact_jit"):
+                        self._chunk_compact_jit = jax.jit(
+                            self._chunk_step_compact)
+                    compact_jit = self._chunk_compact_jit
+                labels, X, state = compact_jit(
+                    self.variables, stack("frame"), stack("prop_boxes"),
+                    stack("prop_masks28"), stack("prop_valid"),
+                    tmpl_feats, tmpl_valid, state,
+                    jnp.asarray(t_seen, jnp.int32), live,
+                    tmpl_masks if live is not None else None)
+            else:
+                labels, X, state = self._chunk_jit(
+                    self.variables, stack("frame"), stack("prop_masks"),
+                    stack("prop_valid"), tmpl_feats, tmpl_valid, state,
+                    jnp.asarray(t_seen, jnp.int32), live,
+                    tmpl_masks if live is not None else None)
+            labels_out.append(labels[:k])
+            assign_out.append(X[:k])
             t_seen += k
             buf.clear()
 
@@ -344,6 +399,8 @@ class InferenceEngine:
             if len(buf) == chunk:
                 flush()
         flush()
+        labels_out = [np.asarray(x) for x in labels_out]
+        assign_out = [np.asarray(x) for x in assign_out]
         assignments = np.concatenate(assign_out)
         if assignments.shape[2] < M_full:   # pad bucketed slots back
             assignments = np.pad(assignments, ((0, 0), (0, 0),

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--params", default=None)
     ap.add_argument("--image-size", type=int, nargs=2, default=(256, 448))
+    ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--max-detections", type=int, default=64)
     ap.add_argument("--sequences", nargs="*", default=None)
     args = ap.parse_args()
@@ -46,7 +47,8 @@ def main():
 
     log = get_logger("extract")
     H, W = args.image_size
-    model = MaskRCNN(image_size=(H, W), max_detections=args.max_detections)
+    model = MaskRCNN(image_size=(H, W), backbone_name=args.backbone,
+                     max_detections=args.max_detections)
     img0 = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img0)
     if args.params:
