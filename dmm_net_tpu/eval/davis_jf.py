@@ -48,15 +48,27 @@ def _seg2bmap(seg: np.ndarray) -> np.ndarray:
     return b
 
 
+def _disk(radius: int) -> np.ndarray:
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    return ((yy ** 2 + xx ** 2) <= radius ** 2).astype(np.uint8)
+
+
 def _binary_dilate_disk(m: np.ndarray, radius: int) -> np.ndarray:
-    """Dilate a boolean map with a disk structuring element (numpy-only)."""
+    """Dilate a boolean map with a disk structuring element.
+
+    cv2 fast path (exactly equivalent — same kernel, tested) with a
+    numpy shift-accumulate fallback; the disk matches skimage.morphology's
+    disk used by davis2017-evaluation."""
     if radius <= 0:
         return m
+    try:
+        import cv2
+        return cv2.dilate(m.astype(np.uint8), _disk(radius)).astype(bool)
+    except ImportError:
+        pass
     H, W = m.shape
     out = np.zeros_like(m)
-    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
-    disk = (yy ** 2 + xx ** 2) <= radius ** 2
-    idx = np.argwhere(disk)
+    idx = np.argwhere(_disk(radius))
     for dy, dx in idx - radius:
         ys = slice(max(0, dy), H + min(0, dy))
         yd = slice(max(0, -dy), H + min(0, -dy))
