@@ -191,3 +191,34 @@ def hard_assignment(X: jnp.ndarray, row_mask: jnp.ndarray,
     Xm = jnp.where(col_mask[..., None, :], X, -1.0)
     idx = jnp.argmax(Xm, axis=-1).astype(jnp.int32)
     return jnp.where(row_mask, idx, -1)
+
+
+def hard_assignment_hungarian(X, row_mask, col_mask):
+    """One-to-one hard decode: maximize total soft mass with each proposal
+    used at most once (scipy Hungarian on host). Row-wise argmax can assign
+    two templates the same proposal; this cannot. Host-side numpy (not
+    jittable) — inference decode only.
+
+    X (M, N) or (B, M, N); returns int32 indices shaped like row_mask,
+    -1 for padded rows."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    X = np.asarray(X)
+    row_mask = np.asarray(row_mask)
+    col_mask = np.asarray(col_mask)
+    if X.ndim == 2:
+        X, row_mask, col_mask = X[None], row_mask[None], col_mask[None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = np.full(row_mask.shape, -1, np.int32)
+    for b in range(X.shape[0]):
+        rows = np.nonzero(row_mask[b])[0]
+        cols = np.nonzero(col_mask[b])[0]
+        if rows.size == 0 or cols.size == 0:
+            continue
+        sub = X[b][np.ix_(rows, cols)]
+        ri, ci = linear_sum_assignment(-sub)   # maximize mass
+        out[b, rows[ri]] = cols[ci]
+    return out[0] if squeeze else out

@@ -239,3 +239,25 @@ def test_epsilon_annealing_converges_faster():
     # column residual; tight satisfaction at convergence is tested above)
     np.testing.assert_allclose(X_ann.sum(-1), 1.0, atol=1e-2)
     assert (X_ann.sum(-2) <= 1.0 + 5e-2).all()
+
+
+def test_hungarian_decode_one_to_one():
+    from dmm_net_tpu.ops.matching import hard_assignment_hungarian
+
+    # craft X where greedy argmax would double-assign proposal 0
+    X = np.asarray([[0.9, 0.05, 0.05, 0.0],
+                    [0.8, 0.15, 0.05, 0.0],
+                    [0.0, 0.0, 0.0, 0.0]], np.float32)
+    rm = np.asarray([True, True, False])
+    cm = np.asarray([True, True, True, False])
+    greedy = np.asarray(hard_assignment(jnp.asarray(X), jnp.asarray(rm),
+                                        jnp.asarray(cm)))
+    assert greedy[0] == greedy[1] == 0       # greedy double-assigns
+    hung = hard_assignment_hungarian(X, rm, cm)
+    assert hung[2] == -1
+    assert sorted(hung[:2].tolist()) == [0, 1]   # one-to-one
+    # total mass maximized: row0->0 (0.9) + row1->1 (0.15) > row0->1+row1->0
+    assert hung[0] == 0 and hung[1] == 1
+    # batched form
+    hb = hard_assignment_hungarian(X[None], rm[None], cm[None])
+    np.testing.assert_array_equal(hb[0], hung)
