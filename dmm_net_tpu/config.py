@@ -57,6 +57,7 @@ class ModelConfig:
     feature_dim: int = 256         # pooled mask-feature dim
     decoder_dim: int = 128
     decoder_dtype: str = "float32"  # "bfloat16" halves decoder HBM traffic
+    decoder_fine_level: str = "c2"  # "c3" = fast mode (~80% fewer decoder FLOPs)
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
     # Source of next-frame template masks for the cost IoU term:
     # "decoder" (refined prediction, the reference's behavior) or

@@ -80,6 +80,9 @@ class RefinementDecoder(nn.Module):
     features: int = 128
     recurrent: bool = True
     dtype: Any = jnp.float32
+    # finest skip level consumed: "c2" (full quality, stride-4 detail) or
+    # "c3" (fast mode: skips the two stride-4 convs, ~80% of decoder FLOPs)
+    fine_level: str = "c2"
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
@@ -112,7 +115,9 @@ class RefinementDecoder(nn.Module):
             # f32 like the recurrent branch: scan carries need stable dtypes
             new_state = jnp.zeros((B, M) + h32 + (f,), jnp.float32)
 
-        for level in ("c4", "c3", "c2"):
+        levels = ("c4", "c3", "c2")
+        levels = levels[:levels.index(self.fine_level) + 1]
+        for level in levels:
             skip = fold(feats[level]).astype(self.dtype)
             sk_hw = skip.shape[-3:-1]
             m_lvl = _resize(mask_bm, sk_hw)

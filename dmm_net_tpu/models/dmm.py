@@ -63,7 +63,8 @@ class DMMNet(nn.Module):
             features=cfg.model.decoder_dim,
             recurrent=cfg.model.decoder_recurrent,
             dtype=jnp.bfloat16 if cfg.model.decoder_dtype == "bfloat16"
-            else jnp.float32)
+            else jnp.float32,
+            fine_level=cfg.model.decoder_fine_level)
 
     def extract_features(self, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to

@@ -144,3 +144,28 @@ def test_grad_accumulation_matches_large_batch_direction():
     cos = (du_got * du_want).sum() / (
         np.linalg.norm(du_got) * np.linalg.norm(du_want) + 1e-12)
     assert cos > 0.9, cos
+
+
+def test_decoder_fine_level_fast_mode():
+    import dataclasses
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, decoder_fine_level="c3"))
+    batch = _batch(cfg)
+    model = DMMNet(cfg)
+    B, T, H, W, _ = batch["frames"].shape
+    M = cfg.matching.max_templates
+    state0 = FrameState(
+        template_masks=batch["tmpl_masks"],
+        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
+                                 cfg.model.decoder_dim)))
+    variables = model.init(jax.random.PRNGKey(0), batch["frames"][:, 0],
+                           batch["prop_masks"][:, 0], batch["prop_valid"][:, 0],
+                           jnp.zeros((B, M, cfg.model.feature_dim)),
+                           batch["tmpl_valid"], state0)
+    out, _ = model.apply(variables, batch["frames"][:, 0],
+                         batch["prop_masks"][:, 0], batch["prop_valid"][:, 0],
+                         jnp.zeros((B, M, cfg.model.feature_dim)),
+                         batch["tmpl_valid"], state0)
+    assert out.logits.shape == (B, M, H, W)   # still full-res output
+    assert np.isfinite(np.asarray(out.logits)).all()
