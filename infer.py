@@ -99,6 +99,8 @@ def main():
         import orbax.checkpoint as ocp
         ckpt = Checkpointer(args.ckpt)
         step = ckpt.latest_step()
+        if step is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}")
         target = {"state": {"params": jax.tree.map(
             ocp.utils.to_shape_dtype_struct, variables["params"])}}
         # restore params only (inference needs no optimizer state)
@@ -112,21 +114,28 @@ def main():
     from dmm_net_tpu.data.pipeline import normalize_frames  # noqa: F401
     results = {}
     total_frames = 0
-    t_start = time.time()
+    infer_seconds = 0.0
     for seq_name in seqs:
         sd = ds.sequence_stream(seq_name)
         stream = RingStager(sd["frames"], depth=2)
         if args.dataset == "ytvos":
             # chunked-scan streaming (config #4): one dispatch per K frames;
             # live_from/tmpl_frames gate mid-video objects correctly
+            t0 = time.time()
             res = engine.run_stream_chunked(
                 iter(stream), sd["tmpl_masks"], sd["tmpl_valid"],
                 sd["first_frame"], chunk=args.chunk,
                 live_from=sd["live_from"], tmpl_frames=sd["tmpl_frames"])
+            infer_seconds += time.time() - t0
             labels = res["labels"][:, 0]
             total_frames += labels.shape[0]
             from dmm_net_tpu.data.ytvos import write_submission
-            stems = sd["annotated_stems"] or sd["frame_stems"]
+            # the server wants a PNG for every frame listed in meta.json
+            # (the valid split's Annotations/ holds only first frames)
+            meta_objs = ds.meta.get(seq_name, {}).get("objects", {})
+            meta_stems = sorted({s for od in meta_objs.values()
+                                 for s in od.get("frames", [])})
+            stems = meta_stems or sd["annotated_stems"] or sd["frame_stems"]
             pick = [sd["frame_stems"].index(s) for s in stems
                     if s in sd["frame_stems"]]
             # the server expects original-resolution PNGs
@@ -145,8 +154,10 @@ def main():
                              full_size=full_size)
             log.info("%s: %d frames -> submission", seq_name, labels.shape[0])
             continue
+        t0 = time.time()
         res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
                                   sd["tmpl_valid"], sd["first_frame"])
+        infer_seconds += time.time() - t0
         labels = res["labels"][:, 0]
         total_frames += labels.shape[0]
         seq_out = os.path.join(args.out, seq_name)
@@ -166,13 +177,13 @@ def main():
                                  ("J", "F", "J&F", "J_recall", "J_decay",
                                   "F_recall", "F_decay")}
             log.info("%s: J&F=%.3f", seq_name, r["J&F"])
-    dt = time.time() - t_start
     summary = {
         "sequences": results,
         "J": float(np.mean([r["J"] for r in results.values()])) if results else None,
         "F": float(np.mean([r["F"] for r in results.values()])) if results else None,
         "J&F": float(np.mean([r["J&F"] for r in results.values()])) if results else None,
-        "fps": total_frames / dt,
+        # inference-only rate (decode+engine; excludes eval + PNG writing)
+        "fps": total_frames / max(infer_seconds, 1e-9),
         "frames": total_frames,
     }
     os.makedirs(args.out, exist_ok=True)

@@ -69,3 +69,48 @@ def test_import_structure_matches_init():
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32))
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_deconv_conversion_golden_vs_torch():
+    """flax ConvTranspose with the converted kernel must equal torch
+    ConvTranspose2d on the same input."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+    from tools.import_maskrcnn_weights import _t_deconv
+
+    rng = np.random.RandomState(0)
+    cin, cout, k, s = 3, 5, 2, 2
+    w = rng.randn(cin, cout, k, k).astype(np.float32) * 0.3
+    b = rng.randn(cout).astype(np.float32) * 0.1
+    x = rng.randn(1, 4, 6, cin).astype(np.float32)
+
+    tconv = torch.nn.ConvTranspose2d(cin, cout, k, stride=s)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.tensor(w))
+        tconv.bias.copy_(torch.tensor(b))
+        want = tconv(torch.tensor(x.transpose(0, 3, 1, 2)))
+    want = want.detach().numpy().transpose(0, 2, 3, 1)
+
+    mod = nn.ConvTranspose(cout, (k, k), strides=(s, s))
+    variables = {"params": {"kernel": jnp.asarray(_t_deconv(w)),
+                            "bias": jnp.asarray(b)}}
+    got = np.asarray(mod.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fc6_flatten_order_golden_vs_torch():
+    """torch Linear on CHW-flattened features == flax Dense with the
+    reordered kernel on HWC-flattened features."""
+    torch = pytest.importorskip("torch")
+    from tools.import_maskrcnn_weights import _dense_from_chw
+
+    rng = np.random.RandomState(1)
+    C, H, W, out = 6, 7, 7, 10
+    w = rng.randn(out, C * H * W).astype(np.float32) * 0.1
+    feat = rng.randn(H, W, C).astype(np.float32)
+
+    want = torch.tensor(w) @ torch.tensor(
+        feat.transpose(2, 0, 1).reshape(-1))      # torch flattens (C,H,W)
+    got = jnp.asarray(feat.reshape(-1)) @ jnp.asarray(
+        _dense_from_chw(w, C, H, W))              # flax flattens (H,W,C)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)

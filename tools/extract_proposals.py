@@ -87,23 +87,18 @@ def main():
         for t, fp in enumerate(frame_lists[seq]):
             img = load(fp).astype(np.float32) / 255.0
             img = (img - IMAGENET_MEAN) / IMAGENET_STD
-            boxes, scores, valid, masks = infer(jnp.asarray(img[None]))
+            boxes, scores, valid, masks = (
+                np.asarray(x) for x in infer(jnp.asarray(img[None])))
             props = []
             for i in range(args.max_detections):
-                if not bool(valid[i]):
+                if not valid[i]:
                     continue
+                rle = rle_codec.encode(masks[i] > 0.5)
                 props.append({
-                    "bbox": np.asarray(boxes[i]).tolist(),
+                    "bbox": boxes[i].tolist(),
                     "score": float(scores[i]),
-                    "rle": {
-                        "size": list(map(int,
-                                         rle_codec.encode(
-                                             np.asarray(masks[i]) > 0.5
-                                         )["size"])),
-                        "counts": rle_codec.encode(
-                            np.asarray(masks[i]) > 0.5)["counts"].decode(
-                                "latin1"),
-                    },
+                    "rle": {"size": [int(x) for x in rle["size"]],
+                            "counts": rle["counts"].decode("latin1")},
                 })
             with open(os.path.join(args.out, seq, f"{t:05d}.json"), "w") as f:
                 json.dump(props, f)

@@ -37,12 +37,23 @@ def _t(w: np.ndarray) -> np.ndarray:
 
 
 def _t_deconv(w: np.ndarray) -> np.ndarray:
-    # torch ConvTranspose2d weight is (in, out, kh, kw); flax HWIO
-    return np.transpose(w, (2, 3, 0, 1))
+    # torch ConvTranspose2d weight is (in, out, kh, kw) with gradient-
+    # derived (flipped-kernel) semantics; flax nn.ConvTranspose defaults to
+    # transpose_kernel=False (unflipped correlation), so the spatial dims
+    # must be flipped in addition to the layout transpose.
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def _dense(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))             # (out, in) -> (in, out)
+
+
+def _dense_from_chw(w: np.ndarray, c: int, h: int, ww: int) -> np.ndarray:
+    """Dense layer consuming flattened conv features: torch flattens
+    (C, H, W), flax flattens (H, W, C) — reorder the input axis."""
+    out = w.shape[0]
+    w = w.reshape(out, c, h, ww).transpose(0, 2, 3, 1).reshape(out, -1)
+    return np.transpose(w, (1, 0))
 
 
 def _get(sd: Mapping[str, np.ndarray], *names: str) -> np.ndarray:
@@ -90,7 +101,9 @@ def load_torchvision_maskrcnn(state_dict: Mapping[str, np.ndarray]
     }
 
     box_head = {
-        "fc6": {"kernel": _dense(sd["roi_heads.box_head.fc6.weight"]),
+        # fc6 consumes the flattened 7x7x256 ROI features: reorder CHW->HWC
+        "fc6": {"kernel": _dense_from_chw(
+                    sd["roi_heads.box_head.fc6.weight"], 256, 7, 7),
                 "bias": sd["roi_heads.box_head.fc6.bias"]},
         "fc7": {"kernel": _dense(sd["roi_heads.box_head.fc7.weight"]),
                 "bias": sd["roi_heads.box_head.fc7.bias"]},

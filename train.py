@@ -69,6 +69,9 @@ def main():
                     num_proposals=cfg.matching.max_proposals,
                     pad_objects=cfg.matching.max_templates).items()}
                 i += 1
+        if start_step >= steps:
+            raise SystemExit(f"nothing to do: resumed at step {start_step} "
+                             f">= --steps {steps}")
         stream = batches()
         sample = next(iter(batches()))
     elif cfg.data.dataset == "davis":
@@ -101,7 +104,8 @@ def main():
 
     if cfg.data.augment:
         from dmm_net_tpu.data.augment import augment_batch
-        stream = ({"__seed": i, **b} for i, b in enumerate(stream))
+        stream = ({"__seed": i, **b}
+                  for i, b in enumerate(stream, start=start_step))
 
         def load(b):
             seed = b.pop("__seed")
