@@ -81,15 +81,21 @@ def _sinkhorn_block(C, rm, cm, *, epsilon, iters, epsilon_init=None):
                     keepdims=True)
         return mx + jnp.log(jnp.maximum(s, 1e-38))
 
-    if epsilon_init is not None and epsilon_init > epsilon:
+    anneal = epsilon_init is not None and epsilon_init > epsilon
+    if anneal:
         anneal_steps = max(int(iters * 0.7), 1)
-        decay = (epsilon / epsilon_init) ** (1.0 / anneal_steps)
-    else:
-        epsilon_init, decay = epsilon, 1.0
+        # Python-side log: Mosaic cannot legalize math.powf in-kernel, so
+        # the schedule is eps_k = eps0 * exp(k * log(decay)) with exp only
+        import math
+        log_decay = math.log((epsilon / epsilon_init) ** (1.0 / anneal_steps))
 
     def body(k, g):
-        eps = jnp.maximum(epsilon_init * decay ** k.astype(jnp.float32),
-                          epsilon)
+        if anneal:
+            eps = jnp.maximum(
+                epsilon_init * jnp.exp(k.astype(jnp.float32) * log_decay),
+                epsilon)
+        else:
+            eps = epsilon
         negC = jnp.where(pair, -C / eps, _NEG)
         f = -eps * lse_rows(negC + g / eps)
         f = jnp.where(rm[:, None] > 0.5, f, 0.0)

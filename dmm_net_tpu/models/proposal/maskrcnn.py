@@ -191,9 +191,13 @@ class MaskRCNN(nn.Module):
             decode_boxes(sel_deltas, proposals, weights=(10., 10., 5., 5.)),
             self.image_size)
 
-        # class-aware NMS approximated by score NMS (single-object VOS use)
+        # class-aware NMS via the batched-NMS trick: offset boxes by
+        # class id x (image diagonal) so boxes of different classes never
+        # overlap, then run one plain NMS (exactly per-class suppression)
         ok = best_score > self.score_thresh
-        d_idx, d_mask = nms_boxes(det_boxes, best_score, ok,
+        offset = (best_cls + 1).astype(jnp.float32)[:, None] * float(
+            self.image_size[0] + self.image_size[1])
+        d_idx, d_mask = nms_boxes(det_boxes + offset, best_score, ok,
                                   iou_threshold=self.box_nms_thresh,
                                   max_out=self.max_detections)
         dsafe = jnp.maximum(d_idx, 0)

@@ -130,3 +130,17 @@ def test_ytvos_reader_smoke(tmp_path):
         tmp_path / "sub" / "Annotations" / vid / "00000.png"))
     assert out0.shape == (H0, W0)
     assert set(np.unique(out0)) <= {0, 1, 2}
+
+
+def test_class_aware_nms_via_offset_trick():
+    """Boxes of different classes must not suppress each other when offset
+    by class id x diagonal (the batched-NMS trick used by MaskRCNN)."""
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    # same class: second box suppressed
+    ki, km = nms_boxes(boxes, scores, iou_threshold=0.5, max_out=2)
+    assert np.asarray(km).sum() == 1
+    # different classes: offset separates them -> both kept
+    cls = jnp.asarray([1.0, 2.0])[:, None] * 1000.0
+    ki2, km2 = nms_boxes(boxes + cls, scores, iou_threshold=0.5, max_out=2)
+    assert np.asarray(km2).sum() == 2
