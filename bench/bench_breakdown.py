@@ -32,7 +32,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 
     B = int(os.environ.get("BENCH_BATCH", "4"))
     cfg = preset("p3_multi_object")
@@ -48,7 +48,7 @@ def main():
     st = FrameState(
         template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32),
         decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 cfg.model.decoder_dim)))
+                                 decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv, st)
 
     extract = jax.jit(lambda f: model.apply(variables, f,

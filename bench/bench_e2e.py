@@ -30,7 +30,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 
     base = preset("p3_multi_object")
     if args.pallas:
@@ -54,7 +54,7 @@ def main():
         st = FrameState(
             template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32),
             decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                     base.model.decoder_dim)))
+                                     decoder_state_dim(base))))
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), frame, pm, pv,
                                    tf_, tv, st)

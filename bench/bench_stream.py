@@ -39,7 +39,7 @@ def main():
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.data.pipeline import Prefetcher
     from dmm_net_tpu.infer.engine import InferenceEngine
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 
     cfg = preset("p4_ytvos_stream")
     H, W = cfg.model.image_size
@@ -80,7 +80,7 @@ def main():
     state0 = FrameState(
         template_masks=jnp.zeros((1, M, H, W)),
         decoder_state=jnp.zeros((1, M, H // 32, W // 32,
-                                 cfg.model.decoder_dim)))
+                                 decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, H, W, 3)),
                            jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),

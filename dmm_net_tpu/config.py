@@ -39,6 +39,11 @@ class MatchingConfig:
     max_templates: int = 16        # M_max (pad rows)
     max_proposals: int = 128       # N_max (pad cols)
     use_pallas: bool = False       # fused Pallas cost+matcher kernel
+    # Assignment decode feeding the aggregation (SURVEY.md §4.2 "verify"):
+    # "soft" (soft aggregation over X, the training behavior), "argmax"
+    # (row-wise hard argmax, jittable), or "hungarian" (one-to-one scipy
+    # decode — engine-level, inference only; each proposal used once).
+    decode: str = "soft"
 
 
 @dataclass(frozen=True)
@@ -59,6 +64,13 @@ class ModelConfig:
     decoder_dtype: str = "float32"  # "bfloat16" halves decoder HBM traffic
     decoder_fine_level: str = "c2"  # "c3" = fast mode (~80% fewer decoder FLOPs)
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
+    # Decoder structure: "shared" = object-proportional SharedFPNDecoder
+    # (mask-independent FPN runs once per frame; per-object path at
+    # decoder_obj_dim width — ~6-8x fewer FLOPs at M=16, the production
+    # default); "legacy" = RefinementDecoder (full-width conv stack
+    # broadcast per object slot).
+    decoder_variant: str = "shared"
+    decoder_obj_dim: int = 32      # per-object path width ("shared" variant)
     # Source of next-frame template masks for the cost IoU term:
     # "decoder" (refined prediction, the reference's behavior) or
     # "aggregation" (matcher-aggregated proposals — robust without trained
@@ -158,7 +170,8 @@ def _p2_single_object() -> Config:
     # "Full inference: backbone + cost + matching + refinement, single-object clips"
     return Config(
         name="p2_single_object",
-        matching=MatchingConfig(max_templates=1, max_proposals=64),
+        matching=MatchingConfig(max_templates=1, max_proposals=64,
+                                use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=1),
     )
@@ -168,7 +181,8 @@ def _p3_multi_object() -> Config:
     # "Multi-object DAVIS val: variable counts, padded matrices, batched frames"
     return Config(
         name="p3_multi_object",
-        matching=MatchingConfig(max_templates=16, max_proposals=128),
+        matching=MatchingConfig(max_templates=16, max_proposals=128,
+                                use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=4),
     )
@@ -178,7 +192,8 @@ def _p4_ytvos_stream() -> Config:
     # "YouTube-VOS val: longer sequences, more objects, streaming pipeline"
     return Config(
         name="p4_ytvos_stream",
-        matching=MatchingConfig(max_templates=16, max_proposals=128),
+        matching=MatchingConfig(max_templates=16, max_proposals=128,
+                                use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16"),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )

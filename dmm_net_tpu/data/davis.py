@@ -77,10 +77,19 @@ class DavisDataset:
 
     def load_annotation(self, path: str) -> np.ndarray:
         """Palette-indexed label map, nearest-resized to image_size."""
+        return _resize_image(self.load_annotation_native(path),
+                             self.image_size, nearest=True)
+
+    def load_annotation_native(self, path: str) -> np.ndarray:
+        """Palette-indexed label map at the annotation's NATIVE resolution.
+
+        The official DAVIS protocol (SURVEY.md §4.5, davis2017-evaluation)
+        scores at the annotation's native 480p — predictions must be
+        upsampled to this, never the GT downsampled to model resolution."""
         ann = _imread(path)
         if ann.ndim == 3:
             ann = ann[..., 0]
-        return _resize_image(ann, self.image_size, nearest=True)
+        return ann
 
     def object_ids(self, seq: str) -> List[int]:
         ann0 = self.load_annotation(self.annotation_paths(seq)[0])

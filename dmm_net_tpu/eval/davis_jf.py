@@ -103,6 +103,21 @@ def db_eval_boundary(annotation: np.ndarray, segmentation: np.ndarray,
     return float(2 * precision * recall / (precision + recall))
 
 
+def upsample_labels(labels: np.ndarray, hw) -> np.ndarray:
+    """Nearest-upsample (T, h, w) integer label maps to native (H, W).
+
+    Protocol fidelity (SURVEY.md §4.5): DAVIS scores at the annotation's
+    native resolution, so model-resolution predictions must be upsampled
+    before evaluate_sequence — never the GT downsampled."""
+    from PIL import Image
+    T = labels.shape[0]
+    out = np.zeros((T,) + tuple(hw), labels.dtype)
+    for t in range(T):
+        im = Image.fromarray(labels[t].astype(np.uint8))
+        out[t] = np.asarray(im.resize((hw[1], hw[0]), Image.NEAREST))
+    return out
+
+
 def evaluate_sequence(gt_masks: np.ndarray, pred_masks: np.ndarray,
                       object_ids: List[int] | None = None,
                       exclude_first_last: bool = True) -> Dict[str, float]:
@@ -133,6 +148,11 @@ def evaluate_sequence(gt_masks: np.ndarray, pred_masks: np.ndarray,
         if len(xs) < n_bins:
             return 0.0
         ids = np.round(np.linspace(1, len(xs), n_bins + 1) + 1e-10) - 1
+        # uint8 reproduces the official scorer's dtype quirk bit-for-bit
+        # (required for DAVIS fidelity, SURVEY.md §4.5 "must not be
+        # improved"). WARNING: it silently wraps for sequences longer than
+        # 255 frames — fine for DAVIS (max ~104), a trap if reused for
+        # YT-VOS-length videos.
         ids = ids.astype(np.uint8)
         bins = [np.asarray(xs)[ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
         means = [b.mean() if b.size else 0.0 for b in bins]

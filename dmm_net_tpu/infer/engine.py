@@ -93,6 +93,8 @@ class InferenceEngine:
         self._step = jax.jit(self._frame_step)
         self._step_compact = jax.jit(self._frame_step_compact)
         self._init_feats = jax.jit(self._template_features)
+        self._match_jit = jax.jit(self._match_phase)
+        self._decode_jit = jax.jit(self._decode_phase)
 
     def _bucket_slice(self, tmpl_masks, tmpl_valid, extras=()):
         """Slice template arrays down to the active-object bucket. Valid
@@ -158,6 +160,43 @@ class InferenceEngine:
         return self._frame_step(variables, frame, pm, prop_valid,
                                 tmpl_feats, tmpl_valid, state)
 
+    def _match_phase(self, variables, frame, prop_masks, prop_valid,
+                     tmpl_feats, tmpl_valid, state):
+        """First jitted half of the Hungarian-decode step: up to soft X."""
+        return self.model.apply(variables, frame, prop_masks, prop_valid,
+                                tmpl_feats, tmpl_valid, state,
+                                method=DMMNet.match_assignment)
+
+    def _decode_phase(self, variables, feats, X, prop_masks, tmpl_valid,
+                      state):
+        """Second jitted half: aggregation + refinement from a (hardened)
+        assignment injected by the host between the two halves."""
+        out, new_state = self.model.apply(
+            variables, feats, X, prop_masks, tmpl_valid, state,
+            method=DMMNet.decode_from_assignment)
+        labels = resolve_overlaps(out.logits, tmpl_valid)
+        if not self.update_templates:
+            new_state = new_state._replace(template_masks=state.template_masks)
+        return labels, out.assignment, new_state
+
+    def _hungarian_step(self, variables, frame, prop_masks, prop_valid,
+                        tmpl_feats, tmpl_valid, state):
+        """One-to-one decode (SURVEY.md §4.2 flagged verify; VERDICT r1 #8):
+        soft X on device -> scipy Hungarian on host -> one-hot X back to
+        the jitted decode half. Two dispatches/frame — ablation path, not
+        the throughput path."""
+        from dmm_net_tpu.ops.matching import hard_assignment_hungarian
+        feats, X = self._match_jit(variables, frame, prop_masks, prop_valid,
+                                   tmpl_feats, tmpl_valid, state)
+        Xn = np.asarray(X)
+        idx = hard_assignment_hungarian(Xn, np.asarray(tmpl_valid),
+                                        np.asarray(prop_valid))
+        Xh = np.zeros_like(Xn)
+        b_ix, m_ix = np.nonzero(idx >= 0)
+        Xh[b_ix, m_ix, idx[b_ix, m_ix]] = 1.0
+        return self._decode_jit(variables, feats, jnp.asarray(Xh),
+                                prop_masks, tmpl_valid, state)
+
     # -- host loop --------------------------------------------------------
     def run_sequence(self, frames_iter: Iterator[Dict[str, np.ndarray]],
                      tmpl_masks: np.ndarray, tmpl_valid: np.ndarray,
@@ -179,9 +218,18 @@ class InferenceEngine:
                                       tmpl_masks)
         state = self.model.apply(variables, tmpl_masks,
                                  method=DMMNet.init_state)
+        hungarian = self.cfg.matching.decode == "hungarian"
         labels_out, assign_out = [], []
         for item in frames_iter:
-            if "prop_boxes" in item:
+            if hungarian:
+                assert "prop_boxes" not in item, (
+                    "hungarian decode supports full-mask items only")
+                labels, X, state = self._hungarian_step(
+                    variables, jnp.asarray(item["frame"]),
+                    jnp.asarray(item["prop_masks"]),
+                    jnp.asarray(item["prop_valid"]),
+                    tmpl_feats, tmpl_valid, state)
+            elif "prop_boxes" in item:
                 labels, X, state = self._step_compact(
                     variables, jnp.asarray(item["frame"]),
                     jnp.asarray(item["prop_boxes"]),

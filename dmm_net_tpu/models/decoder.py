@@ -128,3 +128,91 @@ class RefinementDecoder(nn.Module):
                          name="out")(x)                       # (B*M, H/4, W/4, 1)
         logits = _resize(logits, (H, W))
         return logits.reshape(B, M, H, W), new_state
+
+
+class SharedFPNDecoder(nn.Module):
+    """Object-proportional refinement decoder (the production variant).
+
+    The legacy ``RefinementDecoder`` broadcasts the frame pyramid to all M
+    padded object slots and runs the full `features`-wide conv stack per
+    slot — at M_max=16 with 2-3 live objects that is ~6-16x redundant
+    compute (the decoder is ~99% of the frame step; SURVEY.md §4.1 "HOT
+    LOOP #2"). This variant splits the work:
+
+      * a **shared frame path** — an FPN top-down stack at `features`
+        width (lateral 1x1 + merge/fuse 3x3 per level) — runs ONCE per
+        frame on the plain batch axis B. This is where ~all the FLOPs
+        live, and it is mask-independent, so per-object slots add nothing.
+      * a **per-object path** at `obj_features` width (default 32 vs 128)
+        consumes 1x1-projected shared features plus the object's soft
+        mask at every scale, with a ConvGRU recurrence at stride 32.
+        Per-slot cost drops ~15x; total decoder FLOPs at M=16 drop ~6-8x.
+
+    Same interface as RefinementDecoder; state is (B, M, H/32, W/32,
+    obj_features).
+    """
+
+    features: int = 128        # shared frame-path width
+    obj_features: int = 32     # per-object path width
+    recurrent: bool = True
+    dtype: Any = jnp.float32
+    fine_level: str = "c2"
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
+                 state: Optional[jnp.ndarray] = None):
+        B, M, H, W = agg_masks.shape
+        f, g = self.features, self.obj_features
+        levels = ("c4", "c3", "c2")
+        levels = levels[:levels.index(self.fine_level) + 1]
+
+        def conv(ch, k, name, dt=None):
+            return nn.Conv(ch, (k, k), dtype=dt or self.dtype,
+                           param_dtype=jnp.float32, name=name)
+
+        # ---- shared frame path: FPN top-down, batch B only ----------
+        x = nn.relu(conv(f, 3, "head")(feats["c5"].astype(self.dtype)))
+        shared = {"c5": x}
+        for level in levels:
+            skip = feats[level].astype(self.dtype)
+            x = _resize(x, skip.shape[-3:-1])
+            lat = conv(f, 1, f"lat_{level}")(skip)
+            x = nn.relu(conv(f, 3, f"merge_{level}")(x) + lat)
+            x = nn.relu(conv(f, 3, f"fuse_{level}")(x))
+            shared[level] = x
+        # cheap 1x1 projections f -> g feeding the per-object path
+        proj = {k: conv(g, 1, f"toobj_{k}")(v) for k, v in shared.items()}
+
+        # ---- per-object path: batch B*M at g channels ----------------
+        def fold(x):          # (B, h, w, c) -> (B*M, h, w, c)
+            x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
+            return x.reshape((B * M,) + x.shape[2:])
+
+        mask_bm = agg_masks.reshape(B * M, H, W, 1).astype(self.dtype)
+        h32 = proj["c5"].shape[-3:-1]
+        m32 = _resize(mask_bm, h32)
+        x = nn.relu(conv(g, 3, "obj_head")(
+            jnp.concatenate([fold(proj["c5"]), m32], axis=-1)))
+
+        if self.recurrent:
+            if state is None:
+                state = jnp.zeros((B, M) + h32 + (g,), self.dtype)
+            h_prev = state.reshape((B * M,) + h32 + (g,)).astype(self.dtype)
+            x = ConvGRUCell(g, dtype=self.dtype, name="gru")(h_prev, x)
+            new_state = x.reshape((B, M) + h32 + (g,)).astype(jnp.float32)
+        else:
+            new_state = jnp.zeros((B, M) + h32 + (g,), jnp.float32)
+
+        for level in levels:
+            q = fold(proj[level])
+            hw = q.shape[-3:-1]
+            x = _resize(x, hw)
+            m_lvl = _resize(mask_bm, hw)
+            x = nn.relu(conv(g, 3, f"obj_merge_{level}")(
+                jnp.concatenate([x, q, m_lvl], axis=-1)))
+            x = x + nn.relu(conv(g, 3, f"obj_fuse_{level}")(x))
+
+        logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="out")(x)                       # (B*M, H/4, W/4, 1)
+        logits = _resize(logits, (H, W))
+        return logits.reshape(B, M, H, W), new_state

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from dmm_net_tpu.config import Config
 from dmm_net_tpu.kernels.matcher import fused_pool_cost_match
-from dmm_net_tpu.models.decoder import RefinementDecoder
+from dmm_net_tpu.models.decoder import RefinementDecoder, SharedFPNDecoder
 from dmm_net_tpu.models.resnet import backbone_by_name
 from dmm_net_tpu.ops.cost import cost_matrix
 from dmm_net_tpu.ops.matching import sinkhorn_match, pgd_match
@@ -59,12 +59,21 @@ class DMMNet(nn.Module):
             else jnp.float32)
         self.feat_proj = nn.Conv(cfg.model.feature_dim, (1, 1), name="feat_proj",
                                  dtype=jnp.float32, param_dtype=jnp.float32)
-        self.decoder = RefinementDecoder(
-            features=cfg.model.decoder_dim,
-            recurrent=cfg.model.decoder_recurrent,
-            dtype=jnp.bfloat16 if cfg.model.decoder_dtype == "bfloat16"
-            else jnp.float32,
-            fine_level=cfg.model.decoder_fine_level)
+        dec_dtype = (jnp.bfloat16 if cfg.model.decoder_dtype == "bfloat16"
+                     else jnp.float32)
+        if cfg.model.decoder_variant == "shared":
+            self.decoder = SharedFPNDecoder(
+                features=cfg.model.decoder_dim,
+                obj_features=cfg.model.decoder_obj_dim,
+                recurrent=cfg.model.decoder_recurrent,
+                dtype=dec_dtype,
+                fine_level=cfg.model.decoder_fine_level)
+        else:
+            self.decoder = RefinementDecoder(
+                features=cfg.model.decoder_dim,
+                recurrent=cfg.model.decoder_recurrent,
+                dtype=dec_dtype,
+                fine_level=cfg.model.decoder_fine_level)
 
     def extract_features(self, frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to
@@ -137,6 +146,26 @@ class DMMNet(nn.Module):
         already ran the backbone on this frame (e.g. template pooling on
         frame 0 of a training clip) pass it to avoid a second backbone pass.
         """
+        feats, X = self.match_assignment(frame, prop_masks, prop_valid,
+                                         tmpl_feats, tmpl_valid, state, feats)
+        cfg = self.config
+        if cfg.matching.decode == "argmax":
+            # row-wise hard argmax (jittable): each template takes its best
+            # proposal outright; proposals may be reused across templates
+            from dmm_net_tpu.ops.matching import hard_assignment
+            idx = hard_assignment(X, tmpl_valid, prop_valid)
+            X = (jax.nn.one_hot(jnp.clip(idx, 0), X.shape[-1], dtype=X.dtype)
+                 * (idx >= 0)[..., None])
+        return self.decode_from_assignment(feats, X, prop_masks, tmpl_valid,
+                                           state)
+
+    def match_assignment(self, frame: jnp.ndarray, prop_masks: jnp.ndarray,
+                         prop_valid: jnp.ndarray, tmpl_feats: jnp.ndarray,
+                         tmpl_valid: jnp.ndarray, state: FrameState,
+                         feats: Dict[str, jnp.ndarray] | None = None):
+        """Backbone + pooling + cost + matching; returns (feats, soft X).
+        The first jitted half of the frame step (see decode_from_assignment
+        for why it splits)."""
         if feats is None:
             feats = self.extract_features(frame)
         cfg = self.config
@@ -165,6 +194,17 @@ class DMMNet(nn.Module):
             prop_feats = self.pool_mask_features(feats, prop_masks)
             X = self.match_step(state.template_masks, prop_masks,
                                 tmpl_feats, prop_feats, tmpl_valid, prop_valid)
+        return feats, X
+
+    def decode_from_assignment(self, feats: Dict[str, jnp.ndarray],
+                               X: jnp.ndarray, prop_masks: jnp.ndarray,
+                               tmpl_valid: jnp.ndarray, state: FrameState
+                               ) -> Tuple[FrameOutput, FrameState]:
+        """Aggregation + refinement from a (possibly hardened) assignment.
+
+        Split out of __call__ so the engine's Hungarian decode — a host-side
+        one-to-one solve that cannot live under jit — can harden X between
+        two jitted halves (SURVEY.md §4.2 inference decode, flagged verify)."""
         agg = self.aggregate(X, prop_masks, tmpl_valid)
         logits, dec_state = self.decoder(feats, agg, state.decoder_state)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
@@ -181,10 +221,21 @@ class DMMNet(nn.Module):
     # convenience: initial state from frame-1 ground-truth templates
     # ------------------------------------------------------------------
     def init_state(self, tmpl_masks: jnp.ndarray) -> FrameState:
-        cfg = self.config
-        B, M, H, W = tmpl_masks.shape
-        f = cfg.model.decoder_dim
-        h32, w32 = H // 32, W // 32
-        dec = jnp.zeros((B, M, h32, w32, f), jnp.float32)
-        return FrameState(template_masks=tmpl_masks.astype(jnp.float32),
-                          decoder_state=dec)
+        return init_frame_state(self.config, tmpl_masks)
+
+
+def decoder_state_dim(cfg: Config) -> int:
+    """Channel width of the carried ConvGRU state (variant-dependent)."""
+    if cfg.model.decoder_variant == "shared":
+        return cfg.model.decoder_obj_dim
+    return cfg.model.decoder_dim
+
+
+def init_frame_state(cfg: Config, tmpl_masks: jnp.ndarray) -> FrameState:
+    """Initial FrameState from frame-1 templates — the single source of
+    truth for the carried-state shape (callers must not hardcode it)."""
+    B, M, H, W = tmpl_masks.shape
+    h32, w32 = H // 32, W // 32
+    dec = jnp.zeros((B, M, h32, w32, decoder_state_dim(cfg)), jnp.float32)
+    return FrameState(template_masks=tmpl_masks.astype(jnp.float32),
+                      decoder_state=dec)

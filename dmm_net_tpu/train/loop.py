@@ -22,7 +22,7 @@ from flax.core import FrozenDict
 from jax.sharding import Mesh
 
 from dmm_net_tpu.config import Config
-from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 from dmm_net_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dmm_net_tpu.train.losses import clip_loss
 
@@ -62,10 +62,7 @@ def create_train_state(cfg: Config, rng: jax.Array,
     frames = sample_batch["frames"]
     B, T, H, W, _ = frames.shape
     M = sample_batch["tmpl_masks"].shape[1]
-    state0 = FrameState(
-        template_masks=jnp.zeros((B, M, H, W), jnp.float32),
-        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 cfg.model.decoder_dim), jnp.float32))
+    state0 = init_frame_state(cfg, jnp.zeros((B, M, H, W), jnp.float32))
     variables = model.init(
         rng, frames[:, 0], sample_batch["prop_masks"][:, 0],
         sample_batch["prop_valid"][:, 0],
@@ -83,48 +80,63 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
     """Forward a clip batch; returns (loss, logits).
 
     batch: frames (B,T,H,W,3), prop_masks (B,T,N,H,W), prop_valid (B,T,N),
-    tmpl_masks (B,M,H,W), tmpl_valid (B,M), gt_masks (B,T,M,H,W)."""
+    tmpl_masks (B,M,H,W), tmpl_valid (B,M), gt_masks (B,T,M,H,W).
+
+    Mid-video objects (YT-VOS, SURVEY.md §1.6): optional batch keys
+      live_from (B, M) int — clip index of each object's first annotated
+        frame (its template frame); absent -> all objects live from 0;
+      gt_valid (B, T, M) bool — per-frame loss mask (object live AND frame
+        annotated); absent -> tmpl_valid broadcast over T.
+    Template features are carried through the frame scan and pooled at
+    exactly each object's live_from frame — the training analog of the
+    engine's per-object template frames, at zero extra backbone passes
+    (the scan computes that frame's features anyway)."""
     frames = batch["frames"]
     B, T = frames.shape[:2]
-    M = batch["tmpl_masks"].shape[1]
+    tmpl_masks = batch["tmpl_masks"]
+    tmpl_valid = batch["tmpl_valid"]
+    gated = "live_from" in batch
+    live_from = (jnp.asarray(batch["live_from"], jnp.int32) if gated
+                 else jnp.zeros(tmpl_valid.shape, jnp.int32))
 
-    # template features from frame 1 (fixed for the clip)
-    feats1 = model.apply(variables, frames[:, 0], method=DMMNet.extract_features)
-    tmpl_feats = model.apply(variables, feats1, batch["tmpl_masks"],
+    state0 = model.apply(variables, tmpl_masks, method=DMMNet.init_state)
+    tf0 = jnp.zeros(tmpl_valid.shape + (cfg.model.feature_dim,), jnp.float32)
+
+    def frame_apply(carry, frame, pmask, pvalid, t):
+        st, tfeats = carry
+        feats = model.apply(variables, frame, method=DMMNet.extract_features)
+        pooled = model.apply(variables, feats, tmpl_masks,
                              method=DMMNet.pool_mask_features)
-
-    state = model.apply(variables, batch["tmpl_masks"], method=DMMNet.init_state)
-
-    def frame_apply(st, frame, pmask, pvalid, feats=None):
-        return model.apply(variables, frame, pmask, pvalid,
-                           tmpl_feats, batch["tmpl_valid"], st, feats)
+        # each object's template features lock in at its own frame
+        tfeats = jnp.where((live_from == t)[..., None], pooled, tfeats)
+        valid_t = tmpl_valid & (t >= live_from)
+        out, new_st = model.apply(variables, frame, pmask, pvalid,
+                                  tfeats, valid_t, st, feats)
+        if gated:
+            # pre-live slots keep their GT template mask (the aggregation/
+            # decoder feedback would wipe it before the object appears)
+            live_px = valid_t[..., None, None]
+            new_st = new_st._replace(template_masks=jnp.where(
+                live_px, new_st.template_masks, tmpl_masks))
+        return (new_st, tfeats), out.logits
 
     if cfg.train.remat:
         # recompute frame activations in the backward pass: clip-BPTT
         # memory becomes O(1 frame) instead of O(T frames)
         frame_apply = jax.checkpoint(frame_apply)
 
-    # frame 0 reuses feats1 (its backbone pass already ran for template
-    # pooling); the scan covers frames 1..T-1
-    out0, state = frame_apply(state, frames[:, 0], batch["prop_masks"][:, 0],
-                              batch["prop_valid"][:, 0], feats1)
-
     def step(carry, xs):
-        st = carry
-        frame, pmask, pvalid = xs
-        out, new_st = frame_apply(st, frame, pmask, pvalid)
-        return new_st, out.logits
+        frame, pmask, pvalid, t = xs
+        return frame_apply(carry, frame, pmask, pvalid, t)
 
-    if T > 1:
-        xs = (jnp.moveaxis(frames[:, 1:], 1, 0),
-              jnp.moveaxis(batch["prop_masks"][:, 1:], 1, 0),
-              jnp.moveaxis(batch["prop_valid"][:, 1:], 1, 0))
-        _, logits_t = jax.lax.scan(step, state, xs)
-        logits = jnp.concatenate(
-            [out0.logits[:, None], jnp.moveaxis(logits_t, 0, 1)], axis=1)
-    else:
-        logits = out0.logits[:, None]                     # (B, 1, M, H, W)
-    loss = clip_loss(logits, batch["gt_masks"], batch["tmpl_valid"],
+    xs = (jnp.moveaxis(frames, 1, 0),
+          jnp.moveaxis(batch["prop_masks"], 1, 0),
+          jnp.moveaxis(batch["prop_valid"], 1, 0),
+          jnp.arange(T, dtype=jnp.int32))
+    _, logits_t = jax.lax.scan(step, (state0, tf0), xs)
+    logits = jnp.moveaxis(logits_t, 0, 1)                 # (B, T, M, H, W)
+    loss_valid = batch.get("gt_valid", tmpl_valid)
+    loss = clip_loss(logits, batch["gt_masks"], loss_valid,
                      bce_weight=cfg.train.loss_bce_weight,
                      iou_weight=cfg.train.loss_iou_weight)
     return loss, logits

@@ -27,7 +27,7 @@ from dmm_net_tpu.config import Config, MatchingConfig, ModelConfig
 from dmm_net_tpu.data.synthetic import synthetic_sequence
 from dmm_net_tpu.eval.davis_jf import evaluate_sequence
 from dmm_net_tpu.infer.engine import InferenceEngine
-from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 import jax.numpy as jnp
 
 
@@ -62,7 +62,7 @@ def main():
     tmpl_valid = pad_m(seq["tmpl_valid"])[None]
     state0 = FrameState(
         template_masks=jnp.asarray(tmpl_masks, jnp.float32),
-        decoder_state=jnp.zeros((B, M, H // 32, W // 32, cfg.model.decoder_dim)))
+        decoder_state=jnp.zeros((B, M, H // 32, W // 32, decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.asarray(seq["frames"][:1]),
                            jnp.asarray(seq["prop_masks"][:1]),

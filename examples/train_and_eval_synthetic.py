@@ -22,6 +22,15 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--eval-frames", type=int, default=6)
+    ap.add_argument("--decoder-variant", default="shared",
+                    choices=["shared", "legacy"])
+    ap.add_argument("--obj-dim", type=int, default=16)
+    ap.add_argument("--backbone", default="resnet18")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ablate", action="store_true",
+                    help="after training, score the SAME weights under "
+                    "decode soft/argmax/hungarian and both template-update "
+                    "sources (SURVEY.md §4.2 verify-flags; VERDICT r1 #8)")
     args = ap.parse_args()
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
@@ -42,8 +51,10 @@ def main():
     S = args.size
     cfg = Config(
         name="train_and_eval",
-        model=ModelConfig(backbone="resnet18", backbone_dtype="float32",
+        model=ModelConfig(backbone=args.backbone, backbone_dtype="float32",
                           feature_dim=32, decoder_dim=32,
+                          decoder_variant=args.decoder_variant,
+                          decoder_obj_dim=args.obj_dim,
                           image_size=(S, S), template_update="aggregation"),
         matching=MatchingConfig(max_templates=4, max_proposals=8,
                                 sinkhorn_iters=15, epsilon=0.03),
@@ -60,7 +71,7 @@ def main():
             num_proposals=cfg.matching.max_proposals,
             pad_objects=cfg.matching.max_templates).items()}
 
-    state = create_train_state(cfg, jax.random.PRNGKey(0), make_batch(0))
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), make_batch(0))
     step = make_train_step(cfg)
     t0 = time.time()
     for i in range(args.steps):
@@ -106,6 +117,32 @@ def main():
     r = evaluate_sequence(gt_labels, labels)
     print(f"decoder (trained {args.steps} steps) J&F = {r['J&F']:.3f} "
           f"(J={r['J']:.3f} F={r['F']:.3f})")
+
+    if args.ablate:
+        import dataclasses
+        print("\n--- decode / template-update ablation (same weights) ---")
+        for decode in ("soft", "argmax", "hungarian"):
+            for tupd in ("aggregation", "decoder"):
+                for upd in (True, False):
+                    if not upd and tupd == "decoder":
+                        continue  # template source irrelevant w/o updates
+                    c = dataclasses.replace(
+                        cfg,
+                        matching=dataclasses.replace(cfg.matching,
+                                                     decode=decode),
+                        model=dataclasses.replace(cfg.model,
+                                                  template_update=tupd))
+                    eng = InferenceEngine(c, model=DMMNet(c),
+                                          variables=variables,
+                                          update_templates=upd)
+                    rr = eng.run_sequence(stream(), tmpl_masks, tmpl_valid,
+                                          seq["frames"][0][None])
+                    lab = rr["labels"][:, 0]
+                    ra = evaluate_sequence(gt_labels, lab)
+                    print(f"decode={decode:9s} tmpl={tupd:11s} "
+                          f"update={str(upd):5s} J&F={ra['J&F']:.3f} "
+                          f"(J={ra['J']:.3f} F={ra['F']:.3f})")
+
     assert r["J&F"] > 0.5, "training did not converge enough"
     print("OK")
 

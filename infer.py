@@ -38,7 +38,16 @@ def main():
     ap.add_argument("--out", default="results/default")
     ap.add_argument("--sequences", nargs="*", default=None)
     ap.add_argument("--no-eval", action="store_true")
+    ap.add_argument("--score-at-model-res", action="store_true",
+                    help="legacy: score against GT resized to model "
+                    "resolution instead of the protocol's native 480p")
+    ap.add_argument("--no-template-update", action="store_true",
+                    help="keep frame-1 template masks for the cost IoU "
+                    "term instead of updating with the previous prediction")
     args = ap.parse_args()
+    # decode choice (soft/argmax/hungarian) and template-update source
+    # (decoder/aggregation) are config knobs:
+    #   --set matching.decode=hungarian model.template_update=aggregation
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -51,9 +60,9 @@ def main():
     from dmm_net_tpu.utils.cli import parse_overrides
     from dmm_net_tpu.data.davis import DavisDataset
     from dmm_net_tpu.data.pipeline import RingStager
-    from dmm_net_tpu.eval.davis_jf import evaluate_sequence
+    from dmm_net_tpu.eval.davis_jf import evaluate_sequence, upsample_labels
     from dmm_net_tpu.infer.engine import InferenceEngine
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
     from dmm_net_tpu.utils.logging import get_logger
 
     log = get_logger("infer")
@@ -85,9 +94,7 @@ def main():
 
     # init or load variables
     rng = np.random.RandomState(0)
-    state0 = FrameState(
-        template_masks=jnp.zeros((1, M, H, W), jnp.float32),
-        decoder_state=jnp.zeros((1, M, H // 32, W // 32, cfg.model.decoder_dim)))
+    state0 = init_frame_state(cfg, jnp.zeros((1, M, H, W), jnp.float32))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, H, W, 3)),
                            jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),
@@ -109,7 +116,8 @@ def main():
         variables = {**variables, "params": restored["state"]["params"]}
         log.info("loaded params from %s step %s", args.ckpt, step)
 
-    engine = InferenceEngine(cfg, model=model, variables=variables)
+    engine = InferenceEngine(cfg, model=model, variables=variables,
+                             update_templates=not args.no_template_update)
 
     from dmm_net_tpu.data.pipeline import normalize_frames  # noqa: F401
     results = {}
@@ -164,13 +172,22 @@ def main():
         for t in range(labels.shape[0]):
             engine.write_png(labels[t], os.path.join(seq_out, f"{t:05d}.png"))
         if not args.no_eval:
-            gt = np.stack([ds.load_annotation(p) for p in sd["annotations"]])
+            # Official protocol (SURVEY.md §4.5): score at the annotation's
+            # NATIVE resolution — upsample predictions, never downsample GT.
+            if args.score_at_model_res:
+                gt = np.stack([ds.load_annotation(p)
+                               for p in sd["annotations"]])
+                pred = labels[:gt.shape[0]]
+            else:
+                gt = np.stack([ds.load_annotation_native(p)
+                               for p in sd["annotations"]])
+                pred = upsample_labels(labels[:gt.shape[0]], gt.shape[1:3])
             # remap GT ids to template slots 1..K
             remap = np.zeros(256, np.int32)
             for i, oid in enumerate(sd["object_ids"]):
                 remap[oid] = i + 1
             gt_mapped = remap[gt]
-            r = evaluate_sequence(gt_mapped, labels[:gt_mapped.shape[0]],
+            r = evaluate_sequence(gt_mapped, pred,
                                   object_ids=list(
                                       range(1, len(sd["object_ids"]) + 1)))
             results[seq_name] = {k: r[k] for k in

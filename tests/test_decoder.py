@@ -1,0 +1,93 @@
+"""Refinement decoder tests (SURVEY.md §3.1 component #10).
+
+Covers both decoder variants:
+  * legacy RefinementDecoder — full-width conv stack broadcast per object;
+  * SharedFPNDecoder — object-proportional split (shared frame FPN once per
+    frame + thin per-object path), the production default.
+
+Key claims verified here:
+  1. interface parity: same input/output shapes, finite values, f32 state;
+  2. per-object independence: one slot's mask cannot leak into another
+     slot's logits (padding discipline at the decoder level);
+  3. the FLOP claim behind the restructure: at padded M the shared variant
+     compiles to a small fraction of the legacy variant's FLOPs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmm_net_tpu.models.decoder import RefinementDecoder, SharedFPNDecoder
+
+
+def _pyramid(B, H, W, key=0):
+    rng = np.random.RandomState(key)
+    dims = {"c2": 16, "c3": 24, "c4": 32, "c5": 48}
+    return {
+        lvl: jnp.asarray(rng.randn(B, H // s, W // s, dims[lvl]),
+                         jnp.float32)
+        for lvl, s in [("c2", 4), ("c3", 8), ("c4", 16), ("c5", 32)]
+    }
+
+
+def _build(variant, B=2, M=4, H=64, W=64, seed=0):
+    feats = _pyramid(B, H, W)
+    rng = np.random.RandomState(seed)
+    agg = jnp.asarray(rng.rand(B, M, H, W), jnp.float32)
+    if variant == "shared":
+        dec = SharedFPNDecoder(features=32, obj_features=8)
+    else:
+        dec = RefinementDecoder(features=32)
+    vars_ = dec.init(jax.random.PRNGKey(0), feats, agg, None)
+    return dec, vars_, feats, agg
+
+
+@pytest.mark.parametrize("variant", ["legacy", "shared"])
+def test_decoder_shapes_state_and_finiteness(variant):
+    B, M, H, W = 2, 4, 64, 64
+    dec, vars_, feats, agg = _build(variant, B, M, H, W)
+    logits, state = dec.apply(vars_, feats, agg, None)
+    assert logits.shape == (B, M, H, W)
+    assert np.isfinite(np.asarray(logits)).all()
+    sdim = 8 if variant == "shared" else 32
+    assert state.shape == (B, M, H // 32, W // 32, sdim)
+    assert state.dtype == jnp.float32
+    # recurrence: feeding the state back must change the output
+    logits2, _ = dec.apply(vars_, feats, agg, state)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+@pytest.mark.parametrize("variant", ["legacy", "shared"])
+def test_decoder_object_slots_independent(variant):
+    """Slot j's mask must not leak into slot i's logits (the object axis is
+    folded into batch — convs cannot mix slots)."""
+    B, M, H, W = 1, 4, 64, 64
+    dec, vars_, feats, agg = _build(variant, B, M, H, W)
+    base, _ = dec.apply(vars_, feats, agg, None)
+    perturbed = agg.at[:, 2].set(0.0)
+    out, _ = dec.apply(vars_, feats, perturbed, None)
+    np.testing.assert_array_equal(np.asarray(base[:, [0, 1, 3]]),
+                                  np.asarray(out[:, [0, 1, 3]]))
+    assert not np.allclose(np.asarray(base[:, 2]), np.asarray(out[:, 2]))
+
+
+def test_shared_variant_flops_fraction_of_legacy():
+    """The restructure's reason to exist: at M=8 padded slots the shared
+    variant must compile to well under half the legacy FLOPs (VERDICT r1
+    next-round #1 targets >=2x fps; FLOP ratio is the compile-time proxy)."""
+    B, M, H, W = 1, 8, 64, 64
+    feats = _pyramid(B, H, W)
+    agg = jnp.asarray(np.random.RandomState(0).rand(B, M, H, W), jnp.float32)
+
+    def flops(dec):
+        vars_ = dec.init(jax.random.PRNGKey(0), feats, agg, None)
+        fn = jax.jit(lambda f, a: dec.apply(vars_, f, a, None))
+        cost = fn.lower(feats, agg).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return cost["flops"]
+
+    legacy = flops(RefinementDecoder(features=32))
+    shared = flops(SharedFPNDecoder(features=32, obj_features=8))
+    assert shared < 0.5 * legacy, (shared, legacy)

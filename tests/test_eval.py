@@ -113,3 +113,42 @@ def test_recall_and_decay_statistics():
     # perfect prediction: recall 1, decay 0
     r2 = evaluate_sequence(gt, gt)
     assert r2["J_recall"] == 1.0 and abs(r2["J_decay"]) < 1e-9
+
+
+def test_native_resolution_scoring_differs_from_model_res():
+    """Protocol fidelity (VERDICT r1 #3): scoring at the annotation's
+    native resolution must use upsample_labels(pred) vs native GT; on fine
+    structure this gives a different (here: lower, honest) score than the
+    legacy GT-downsampled-to-model-res shortcut."""
+    from PIL import Image
+    from dmm_net_tpu.eval.davis_jf import upsample_labels
+
+    T, Hn, Wn, Hm, Wm = 5, 128, 128, 32, 32
+    rng = np.random.RandomState(0)
+    # native GT with fine structure: a blob plus thin 2px protrusions that
+    # vanish at model resolution
+    gt_native = np.zeros((T, Hn, Wn), np.int32)
+    for t in range(T):
+        y = 30 + 2 * t
+        gt_native[t, y:y + 40, 30:70] = 1
+        for k in range(6):           # thin spikes off the blob
+            x = 32 + 6 * k
+            gt_native[t, y - 10:y, x:x + 2] = 1
+    # model-res prediction: the GT seen at 32x32 (what a model could emit)
+    pred_model = np.stack([
+        np.asarray(Image.fromarray(gt_native[t].astype(np.uint8)).resize(
+            (Wm, Hm), Image.NEAREST)) for t in range(T)]).astype(np.int32)
+
+    up = upsample_labels(pred_model, (Hn, Wn))
+    assert up.shape == (T, Hn, Wn)
+    r_native = evaluate_sequence(gt_native, up)
+    # legacy shortcut: GT downsampled to model res
+    gt_model = np.stack([
+        np.asarray(Image.fromarray(gt_native[t].astype(np.uint8)).resize(
+            (Wm, Hm), Image.NEAREST)) for t in range(T)]).astype(np.int32)
+    r_model = evaluate_sequence(gt_model, pred_model)
+    # the two protocols must measurably differ on fine structure, and the
+    # model-res shortcut overstates quality (it hides the lost spikes)
+    assert abs(r_native["J&F"] - r_model["J&F"]) > 0.02, (
+        r_native["J&F"], r_model["J&F"])
+    assert r_model["J&F"] > r_native["J&F"]

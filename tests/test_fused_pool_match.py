@@ -62,7 +62,7 @@ def test_model_pallas_path_matches_jnp_path():
     import dataclasses
     from dmm_net_tpu.config import Config, MatchingConfig, ModelConfig
     from dmm_net_tpu.data.synthetic import synthetic_clip_batch
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 
     cfg = Config(
         model=ModelConfig(backbone="resnet18", backbone_dtype="float32",
@@ -75,7 +75,7 @@ def test_model_pallas_path_matches_jnp_path():
     B, M = 1, 4
     state0 = FrameState(
         template_masks=jnp.asarray(b["tmpl_masks"]),
-        decoder_state=jnp.zeros((B, M, 2, 2, 8)))
+        decoder_state=jnp.zeros((B, M, 2, 2, decoder_state_dim(cfg))))
     args = (jnp.asarray(b["frames"][:, 0]), jnp.asarray(b["prop_masks"][:, 0]),
             jnp.asarray(b["prop_valid"][:, 0]),
             jnp.zeros((B, M, 16)), jnp.asarray(b["tmpl_valid"]), state0)

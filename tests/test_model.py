@@ -7,7 +7,7 @@ import numpy as np
 
 from dmm_net_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig, TrainConfig
 from dmm_net_tpu.data.synthetic import synthetic_clip_batch
-from dmm_net_tpu.models.dmm import DMMNet, FrameState
+from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 from dmm_net_tpu.models.resnet import backbone_by_name, feature_dims
 from dmm_net_tpu.train.loop import create_train_state, make_train_step
 
@@ -53,7 +53,7 @@ def test_frame_step_shapes_and_finiteness():
     state0 = FrameState(
         template_masks=batch["tmpl_masks"],
         decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 cfg.model.decoder_dim)))
+                                 decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0), batch["frames"][:, 0],
                            batch["prop_masks"][:, 0], batch["prop_valid"][:, 0],
                            jnp.zeros((B, M, cfg.model.feature_dim)),
@@ -158,7 +158,7 @@ def test_decoder_fine_level_fast_mode():
     state0 = FrameState(
         template_masks=batch["tmpl_masks"],
         decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 cfg.model.decoder_dim)))
+                                 decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0), batch["frames"][:, 0],
                            batch["prop_masks"][:, 0], batch["prop_valid"][:, 0],
                            jnp.zeros((B, M, cfg.model.feature_dim)),

@@ -81,7 +81,7 @@ def test_sharded_batched_inference_matches_single_device(devices):
     chip-local; no cross-chip state)."""
     import jax.numpy as jnp
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
     from dmm_net_tpu.parallel.mesh import replicated_sharding
 
     cfg = _cfg()
@@ -98,21 +98,28 @@ def test_sharded_batched_inference_matches_single_device(devices):
     st = FrameState(
         template_masks=jnp.asarray(rng.rand(B, M, S, S) > 0.8, jnp.float32),
         decoder_state=jnp.zeros((B, M, S // 32, S // 32,
-                                 cfg.model.decoder_dim)))
+                                 decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv, st)
 
     def fwd(frame, pm, pv, tf_, tv, st):
         out, new_st = model.apply(variables, frame, pm, pv, tf_, tv, st)
-        return resolve_overlaps(out.logits, tv)
+        return out.logits, resolve_overlaps(out.logits, tv)
 
-    single = jax.jit(fwd)(frame, pm, pv, tf_, tv, st)
+    logits_1, labels_1 = jax.jit(fwd)(frame, pm, pv, tf_, tv, st)
 
     mesh = make_mesh(data=8, model=1)
     data = batch_sharding(mesh)
     sharded_fwd = jax.jit(fwd, in_shardings=(data, data, data, data, data,
                                              FrameState(data, data)),
-                          out_shardings=data)
+                          out_shardings=(data, data))
     args = [jax.device_put(x, data) for x in (frame, pm, pv, tf_, tv)]
     st_sh = FrameState(*(jax.device_put(x, data) for x in st))
-    sharded = sharded_fwd(*args, st_sh)
-    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+    logits_8, labels_8 = sharded_fwd(*args, st_sh)
+    # Different partitionings legally reassociate float reductions (conv
+    # tiling differs between the B=8 program and the per-device B=1
+    # program), so logits match to float tolerance, not bit-for-bit; the
+    # label argmax may flip only on exact ties of those logits.
+    np.testing.assert_allclose(np.asarray(logits_1), np.asarray(logits_8),
+                               atol=2e-4, rtol=2e-4)
+    mismatch = (np.asarray(labels_1) != np.asarray(labels_8)).mean()
+    assert mismatch < 1e-3, mismatch

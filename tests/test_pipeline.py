@@ -79,3 +79,29 @@ def test_ring_stager_order():
     rs = RingStager(stream, depth=3)
     got = [int(item["x"][0]) for item in rs]
     assert got == list(range(7))
+
+
+def test_ring_stager_overlaps_decode_with_compute():
+    """VERDICT r1 #6: the source iterator (decode) must run on a producer
+    thread so decode overlaps consumer-side compute. With 10 items at
+    ~30 ms decode + ~30 ms compute, serial execution costs >= 600 ms; the
+    threaded stager must land well under that (pure decode + one compute
+    of pipeline fill). Margins are generous for loaded CI machines."""
+    import time
+
+    T, D = 10, 0.03
+
+    def slow_stream():
+        for i in range(T):
+            time.sleep(D)                 # stands in for JPEG decode
+            yield {"x": np.full((1,), i)}
+
+    t0 = time.monotonic()
+    got = []
+    for item in RingStager(slow_stream(), depth=3):
+        time.sleep(D)                     # stands in for device compute
+        got.append(int(item["x"][0]))
+    elapsed = time.monotonic() - t0
+    assert got == list(range(T))
+    serial = 2 * T * D                    # 0.6 s if nothing overlaps
+    assert elapsed < 0.8 * serial, (elapsed, serial)

@@ -30,7 +30,11 @@ def main():
     ap.add_argument("--params", default=None)
     ap.add_argument("--image-size", type=int, nargs=2, default=(256, 448))
     ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--num-classes", type=int, default=81,
+                    help="must match the trained net (train_proposal.py "
+                    "default is 3 for the synthetic detection set)")
     ap.add_argument("--max-detections", type=int, default=64)
+    ap.add_argument("--score-thresh", type=float, default=0.05)
     ap.add_argument("--sequences", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -48,6 +52,8 @@ def main():
     log = get_logger("extract")
     H, W = args.image_size
     model = MaskRCNN(image_size=(H, W), backbone_name=args.backbone,
+                     num_classes=args.num_classes,
+                     score_thresh=args.score_thresh,
                      max_detections=args.max_detections)
     img0 = jnp.zeros((1, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img0)

@@ -90,8 +90,22 @@ def main():
         stream = itertools.islice(gen, max(steps - start_step, 0))
         sample = next(ds.clip_batches(cfg.data.batch_size,
                                       cfg.data.clip_length))
+    elif cfg.data.dataset == "ytvos":
+        from dmm_net_tpu.data.ytvos import YTVOSDataset
+        ds = YTVOSDataset(cfg.data.root, split="train",
+                          image_size=cfg.model.image_size,
+                          max_objects=cfg.matching.max_templates,
+                          max_proposals=cfg.matching.max_proposals)
+        if not ds.videos:
+            raise SystemExit(f"no YouTube-VOS data under {cfg.data.root}")
+        gen = ds.clip_batches(cfg.data.batch_size, cfg.data.clip_length,
+                              seed=cfg.train.seed + start_step)
+        import itertools
+        stream = itertools.islice(gen, max(steps - start_step, 0))
+        sample = next(ds.clip_batches(cfg.data.batch_size,
+                                      cfg.data.clip_length))
     else:
-        raise SystemExit(f"dataset {cfg.data.dataset} not wired for training yet")
+        raise SystemExit(f"unknown dataset {cfg.data.dataset!r}")
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed), sample)
     if args.resume:

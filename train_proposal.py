@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--logdir", default="runs/proposal")
     ap.add_argument("--max-objects", type=int, default=4)
+    ap.add_argument("--save", default=None,
+                    help="write trained variables as flax msgpack — the "
+                    "file tools/extract_proposals.py --params consumes "
+                    "(closes the train->extract->cache->infer loop, "
+                    "VERDICT r1 #5)")
     args = ap.parse_args()
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
@@ -119,6 +124,14 @@ def main():
             writer.write(i + 1, m)
             log.info("step %d: %s", i + 1,
                      {k: round(v, 4) for k, v in m.items()})
+    if args.save:
+        from flax import serialization
+        os.makedirs(os.path.dirname(os.path.abspath(args.save)), exist_ok=True)
+        with open(args.save, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                {"params": jax.device_get(params),
+                 "batch_stats": jax.device_get(batch_stats)}))
+        log.info("saved variables to %s", args.save)
     log.info("done")
 
 
