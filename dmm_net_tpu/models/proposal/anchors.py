@@ -22,7 +22,11 @@ def generate_anchors(image_size: Tuple[int, int],
     H, W = image_size
     out = []
     for stride, size in zip(strides, sizes):
-        fh, fw = H // stride, W // stride
+        # ceil division: every pyramid level comes from stride-2 SAME convs
+        # (ceil at each halving; ceil composes, so level dims = ceil(d/s)).
+        # Floor would undercount anchors whenever a dim isn't divisible by
+        # the stride (e.g. W=96 at stride 64 -> 2 cells, not 1).
+        fh, fw = -(-H // stride), -(-W // stride)
         cy = (np.arange(fh) + 0.5) * stride
         cx = (np.arange(fw) + 0.5) * stride
         cyx = np.stack(np.meshgrid(cy, cx, indexing="ij"), -1)  # (fh, fw, 2)
@@ -45,7 +49,7 @@ def generate_anchors(image_size: Tuple[int, int],
 def level_slices(image_size, strides=(4, 8, 16, 32, 64), num_ratios=3):
     """Start/stop index of each pyramid level in the flat anchor list."""
     H, W = image_size
-    sizes = [(H // s) * (W // s) * num_ratios for s in strides]
+    sizes = [(-(-H // s)) * (-(-W // s)) * num_ratios for s in strides]
     stops = np.cumsum(sizes)
     starts = np.concatenate([[0], stops[:-1]])
     return list(zip(starts.tolist(), stops.tolist()))
