@@ -27,6 +27,19 @@ w.r.t. C with stop-gradient duals (same `implicit_grad=True` semantics as
 ops/matching.sinkhorn_match), and chain into the cost matrix analytically.
 For exact unrolled gradients, use the jnp path (the default in training
 config when `matching.use_pallas=False`).
+
+PGD+Dykstra is deliberately NOT fused (decision per SURVEY.md §4.4 /
+round-1 verdict): its inner row-simplex projection needs a per-row sort
+(O(N log N) data-dependent permutation), which Mosaic lowers poorly and
+which breaks the all-matmul/VPU structure that makes this kernel a single
+VMEM-resident loop. Sinkhorn reaches the same LP solutions as eps->0
+(verified against scipy Hungarian in tests/test_matching.py), is the
+TPU-friendly solver BASELINE.json:5 sanctions, and its iterations are
+pure row/col reductions the VPU executes at full width. The PGD solver
+remains available as the jnp `ops/matching.pgd_match` path
+(`matching.solver="pgd"`) for parity experiments; at 0.022 ms/frame the
+fused Sinkhorn matcher is already dispatch-bound, so a fused PGD variant
+could not measurably improve the frame step anyway.
 """
 
 from __future__ import annotations

@@ -128,9 +128,13 @@ class MaskRCNN(nn.Module):
     box_nms_thresh: float = 0.5
     score_thresh: float = 0.05
     dtype: Any = jnp.float32
+    # DCNv2 stages ("c3","c4","c5") for deformable-backbone configs
+    # (SURVEY.md 15e); () matches the shipped plain R-50-FPN.
+    deform_stages: Tuple[str, ...] = ()
 
     def setup(self):
-        self.backbone = backbone_by_name(self.backbone_name, dtype=self.dtype)
+        self.backbone = backbone_by_name(self.backbone_name, dtype=self.dtype,
+                                         deform_stages=self.deform_stages)
         self.fpn = FPN(dtype=self.dtype)
         self.rpn = RPNHead(dtype=self.dtype)
         self.box_head = BoxHead(num_classes=self.num_classes, dtype=self.dtype)

@@ -27,21 +27,29 @@ ModuleDef = Any
 
 
 class BottleneckBlock(nn.Module):
-    """ResNet-v1 bottleneck: 1x1 -> 3x3 -> 1x1 with residual."""
+    """ResNet-v1 bottleneck: 1x1 -> 3x3 -> 1x1 with residual.
+
+    `conv3x3` lets a stage swap the spatial conv for DCNv2
+    (`ops/deform_conv.DeformConv`) — the reference's deformable-ResNet
+    variants (SURVEY.md §3.2 15e) replace exactly this conv in c3..c5.
+    """
 
     filters: int
     strides: Tuple[int, int]
     conv: ModuleDef
     norm: ModuleDef
     act: Callable
+    conv3x3: ModuleDef = None
 
     @nn.compact
     def __call__(self, x):
+        conv3x3 = self.conv3x3 or (
+            lambda f, s: self.conv(f, (3, 3), s))
         residual = x
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = self.act(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = conv3x3(self.filters, self.strides)(y)
         y = self.norm()(y)
         y = self.act(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
@@ -61,14 +69,17 @@ class BasicBlock(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     act: Callable
+    conv3x3: ModuleDef = None
 
     @nn.compact
     def __call__(self, x):
+        conv3x3 = self.conv3x3 or (
+            lambda f, s: self.conv(f, (3, 3), s))
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = conv3x3(self.filters, self.strides)(x)
         y = self.norm()(y)
         y = self.act(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = conv3x3(self.filters, (1, 1))(y)
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1), self.strides,
@@ -88,6 +99,11 @@ class ResNet(nn.Module):
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
     train_bn: bool = False
+    # Pyramid levels whose blocks use DCNv2 for the 3x3 conv, e.g.
+    # ("c3", "c4", "c5") — the deformable-ResNet configs of the reference
+    # (SURVEY.md 15e). Empty (default) = plain convs, matching the shipped
+    # R-50-FPN config, and keeps torch-weight-import naming unchanged.
+    deform_stages: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, x):
@@ -105,11 +121,17 @@ class ResNet(nn.Module):
         x = act(x)
         feats = {"c1": x}                                   # stride 2
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        from dmm_net_tpu.ops.deform_conv import DeformConv
         for i, block_count in enumerate(self.stage_sizes):
+            conv3x3 = None
+            if f"c{i + 2}" in self.deform_stages:
+                conv3x3 = lambda f, s: DeformConv(  # noqa: E731
+                    f, (3, 3), strides=s, dtype=self.dtype)
             for j in range(block_count):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 x = self.block_cls(self.num_filters * 2 ** i, strides=strides,
-                                   conv=conv, norm=norm, act=act)(x)
+                                   conv=conv, norm=norm, act=act,
+                                   conv3x3=conv3x3)(x)
             feats[f"c{i + 2}"] = x                          # strides 4,8,16,32
         return feats
 

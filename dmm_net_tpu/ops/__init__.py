@@ -13,3 +13,4 @@ from dmm_net_tpu.ops.matching import (  # noqa: F401
     pgd_match,
 )
 from dmm_net_tpu.ops.cost import cost_matrix, mask_iou, cosine_similarity  # noqa: F401
+from dmm_net_tpu.ops.deform_conv import DeformConv, deform_conv2d  # noqa: F401

@@ -26,7 +26,12 @@ def main():
                     choices=["shared", "legacy"])
     ap.add_argument("--obj-dim", type=int, default=16)
     ap.add_argument("--backbone", default="resnet18")
+    ap.add_argument("--feature-dim", type=int, default=32)
+    ap.add_argument("--decoder-dim", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--distinct-batches", type=int, default=64,
+                    help="synthetic batches are precomputed once and "
+                    "cycled, so long runs are device-bound, not host-bound")
     ap.add_argument("--ablate", action="store_true",
                     help="after training, score the SAME weights under "
                     "decode soft/argmax/hungarian and both template-update "
@@ -52,7 +57,8 @@ def main():
     cfg = Config(
         name="train_and_eval",
         model=ModelConfig(backbone=args.backbone, backbone_dtype="float32",
-                          feature_dim=32, decoder_dim=32,
+                          feature_dim=args.feature_dim,
+                          decoder_dim=args.decoder_dim,
                           decoder_variant=args.decoder_variant,
                           decoder_obj_dim=args.obj_dim,
                           image_size=(S, S), template_update="aggregation"),
@@ -71,11 +77,12 @@ def main():
             num_proposals=cfg.matching.max_proposals,
             pad_objects=cfg.matching.max_templates).items()}
 
-    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), make_batch(0))
+    batches = [make_batch(s) for s in range(args.distinct_batches)]
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), batches[0])
     step = make_train_step(cfg)
     t0 = time.time()
     for i in range(args.steps):
-        state, metrics = step(state, make_batch(i % 64))
+        state, metrics = step(state, batches[i % args.distinct_batches])
         if i == 0:
             print(f"first step (compile): {time.time() - t0:.1f}s")
             t0 = time.time()
