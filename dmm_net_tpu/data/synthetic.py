@@ -104,6 +104,91 @@ def synthetic_sequence(seed: int = 0, T: int = 8, H: int = 128, W: int = 128,
     }
 
 
+def _render_shape(cy, cx, sy, sx, shape, angle, yy, xx):
+    """One soft shape mask. shape: 0 rect, 1 circle/ellipse, 2 triangle."""
+    ry = (yy - cy) * np.cos(angle) - (xx - cx) * np.sin(angle)
+    rx = (yy - cy) * np.sin(angle) + (xx - cx) * np.cos(angle)
+    if shape == 0:
+        m = (np.abs(ry) < sy) & (np.abs(rx) < sx)
+    elif shape == 1:
+        m = (ry / sy) ** 2 + (rx / sx) ** 2 < 1.0
+    else:  # triangle: half-plane intersection
+        m = (ry > -sy) & (ry + 2 * sy * np.abs(rx) / max(sx, 1e-6) < sy)
+    return m.astype(np.float32)
+
+
+def synthetic_detection_frame(seed: int = 0, H: int = 128, W: int = 128,
+                              max_objects: int = 8,
+                              num_classes: int = 4) -> Dict[str, np.ndarray]:
+    """One detection-training frame with COCO-like statistics (VERDICT r1
+    missing #4: "richer synthetic detection data — multi-scale,
+    overlapping, more classes").
+
+    Properties the simple video generator lacks, on purpose:
+      * variable object count (1..max_objects) with occlusion — later
+        objects are drawn on top, and GT masks are the VISIBLE (modal)
+        regions, so heavy overlap produces partial masks like real data;
+      * log-uniform scale spread (~H/20 .. H/3): small-object regime
+        included, exercising the P2..P6 FPN level assignment;
+      * class = shape family (1 rect, 2 ellipse, 3 triangle, ...), with
+        rotation, aspect ratio, and color jitter inside each class;
+      * objects fully gone behind others get valid=False (crowd-style
+        filtering), boxes are tight on the visible mask.
+
+    Returns: image (H, W, 3) f32, boxes (G, 4) xyxy, labels (G,) int32
+    in [1, num_classes-1], valid (G,) bool, masks (G, H, W) f32.
+    """
+    rng = np.random.RandomState(seed)
+    G = max_objects
+    n = rng.randint(1, G + 1)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    # textured background: low-freq gradient + noise
+    gy, gx = rng.randn(2) * 0.2
+    bg = (0.15 + 0.1 * (gy * yy / H + gx * xx / W)[..., None]
+          + rng.randn(H, W, 1).astype(np.float32) * 0.03)
+    image = np.clip(np.repeat(bg, 3, axis=-1)
+                    + rng.rand(1, 1, 3).astype(np.float32) * 0.1, 0, 1)
+
+    full = np.zeros((n, H, W), np.float32)
+    labels_n = np.zeros((n,), np.int32)
+    for i in range(n):
+        cls = rng.randint(1, num_classes)           # 1..C-1 (0 = bg)
+        scale = np.exp(rng.uniform(np.log(H / 20.0), np.log(H / 3.0)))
+        aspect = np.exp(rng.randn() * 0.35)
+        cy = rng.uniform(scale * 0.3, H - scale * 0.3)
+        cx = rng.uniform(scale * 0.3, W - scale * 0.3)
+        full[i] = _render_shape(cy, cx, scale, scale * aspect,
+                                (cls - 1) % 3, rng.uniform(0, np.pi), yy, xx)
+        labels_n[i] = cls
+        color = rng.rand(3) * 0.75 + 0.25
+        shade = 1.0 - 0.25 * ((yy - cy) / max(scale, 1e-6))
+        paint = np.clip(color[None, None] * shade[..., None], 0, 1)
+        image = image * (1 - full[i][..., None]) + paint * full[i][..., None]
+    image = np.clip(image + rng.randn(H, W, 3).astype(np.float32) * 0.02,
+                    0, 1)
+
+    # visibility: later objects occlude earlier ones
+    boxes = np.zeros((G, 4), np.float32)
+    labels = np.zeros((G,), np.int32)
+    valid = np.zeros((G,), bool)
+    masks = np.zeros((G, H, W), np.float32)
+    for i in range(n):
+        vis = full[i].copy()
+        for j in range(i + 1, n):
+            vis *= (1 - full[j])
+        ys, xs = np.nonzero(vis > 0.5)
+        if ys.size < 12:                            # fully occluded / sliver
+            continue
+        masks[i] = (vis > 0.5).astype(np.float32)
+        boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        labels[i] = labels_n[i]
+        valid[i] = True
+
+    return {"image": image.astype(np.float32), "boxes": boxes,
+            "labels": labels, "valid": valid, "masks": masks}
+
+
 def synthetic_clip_batch(seed: int = 0, batch: int = 2, T: int = 4,
                          H: int = 64, W: int = 64, num_objects: int = 2,
                          num_proposals: int = 8,

@@ -29,6 +29,17 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--logdir", default="runs/proposal")
     ap.add_argument("--max-objects", type=int, default=4)
+    ap.add_argument("--data", default="detection",
+                    choices=["detection", "video"],
+                    help="'detection' = COCO-like synthetic frames "
+                    "(multi-scale, overlapping, occluded, class=shape "
+                    "family; VERDICT r1 #4); 'video' = frames from the "
+                    "synthetic video generator (legacy)")
+    ap.add_argument("--distinct-frames", type=int, default=64)
+    ap.add_argument("--eval-images", type=int, default=0,
+                    help="after training, run inference on this many "
+                    "held-out frames and report COCO-protocol box/mask AP "
+                    "(eval/detection_ap.py)")
     ap.add_argument("--save", default=None,
                     help="write trained variables as flax msgpack — the "
                     "file tools/extract_proposals.py --params consumes "
@@ -44,7 +55,8 @@ def main():
     import numpy as np
     import optax
 
-    from dmm_net_tpu.data.synthetic import synthetic_sequence
+    from dmm_net_tpu.data.synthetic import (synthetic_detection_frame,
+                                            synthetic_sequence)
     from dmm_net_tpu.models.proposal.losses import (
         assign_proposals, box_head_loss, mask_head_loss, rpn_loss)
     from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN
@@ -57,6 +69,12 @@ def main():
     def sample(seed):
         """One synthetic frame -> (image, gt_boxes (G,4), gt_labels (G,),
         gt_valid (G,), gt_masks (G,H,W))."""
+        if args.data == "detection":
+            d = synthetic_detection_frame(seed=seed, H=H, W=W,
+                                          max_objects=G,
+                                          num_classes=args.num_classes)
+            return (d["image"][None], d["boxes"], d["labels"], d["valid"],
+                    d["masks"])
         rng = np.random.RandomState(seed)
         seq = synthetic_sequence(seed=seed, T=1, H=H, W=W,
                                  num_objects=min(2, G), num_proposals=4)
@@ -111,9 +129,11 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss, parts
 
     writer = MetricsWriter(args.logdir)
+    frames = [tuple(jnp.asarray(x) for x in sample(s))
+              for s in range(args.distinct_frames)]
     t0 = time.time()
     for i in range(args.steps):
-        img, gb, gl, gv, gm = (jnp.asarray(x) for x in sample(i % 16))
+        img, gb, gl, gv, gm = frames[i % args.distinct_frames]
         params, opt_state, loss, parts = step(params, opt_state, img, gb,
                                               gl, gv, gm)
         if i == 0:
@@ -124,6 +144,35 @@ def main():
             writer.write(i + 1, m)
             log.info("step %d: %s", i + 1,
                      {k: round(v, 4) for k, v in m.items()})
+    if args.eval_images:
+        from dmm_net_tpu.eval.detection_ap import evaluate_detections
+        from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
+
+        infer = jax.jit(lambda img: model.apply(
+            {"params": params, "batch_stats": batch_stats}, img))
+        preds, gts = [], []
+        # held-out seeds: disjoint from the training pool
+        for s in range(10_000, 10_000 + args.eval_images):
+            img, gb, gl, gv, gm = sample(s)
+            out = infer(jnp.asarray(img))
+            full = paste_masks(out["masks"], out["boxes"], out["valid"],
+                               (H, W))
+            preds.append({
+                "boxes": np.asarray(out["boxes"]),
+                "scores": np.asarray(out["scores"]),
+                "classes": np.asarray(out["classes"]),
+                "valid": np.asarray(out["valid"]),
+                "masks": np.asarray(full)})
+            gts.append({"boxes": gb, "labels": gl, "valid": gv, "masks": gm})
+        box_ap = evaluate_detections(preds, gts, iou_type="box")
+        mask_ap = evaluate_detections(preds, gts, iou_type="mask")
+        log.info("held-out box AP: %s",
+                 {k: round(v, 4) for k, v in box_ap.items()})
+        log.info("held-out mask AP: %s",
+                 {k: round(v, 4) for k, v in mask_ap.items()})
+        writer.write(args.steps, {f"box_{k}": v for k, v in box_ap.items()})
+        writer.write(args.steps, {f"mask_{k}": v for k, v in mask_ap.items()})
+
     if args.save:
         from flax import serialization
         os.makedirs(os.path.dirname(os.path.abspath(args.save)), exist_ok=True)
