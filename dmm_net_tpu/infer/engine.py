@@ -84,17 +84,44 @@ class InferenceEngine:
 
     def __init__(self, cfg: Config, model: Optional[DMMNet] = None,
                  variables=None, update_templates: bool = True,
-                 bucket_templates: bool = True):
+                 bucket_templates: bool = True, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis. When set,
+        the batched chunked paths shard the sequence-batch axis across the
+        mesh — sequences stay chip-local (frames of one video are serially
+        dependent, SURVEY.md §3.3 SP row), so XLA SPMD inserts NO
+        collectives and throughput scales linearly with chips. This is a
+        TPU-native extension: the reference had no multi-GPU inference."""
         self.cfg = cfg
         self.model = model or DMMNet(cfg)
         self.variables = variables
         self.update_templates = update_templates
         self.bucket_templates = bucket_templates
+        self.mesh = mesh
         self._step = jax.jit(self._frame_step)
         self._step_compact = jax.jit(self._frame_step_compact)
         self._init_feats = jax.jit(self._template_features)
         self._match_jit = jax.jit(self._match_phase)
         self._decode_jit = jax.jit(self._decode_phase)
+
+    # -- mesh placement helpers (no-ops when mesh is None) -----------------
+    def _seq_sharded(self, x, time_leading: bool = False):
+        """Place an array with the sequence-batch axis sharded on "data".
+        time_leading: the array is (K, B, ...) instead of (B, ...)."""
+        if self.mesh is None or x is None:
+            return jnp.asarray(x) if x is not None else None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(None, "data") if time_leading else P("data")
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+
+    def _replicated_variables(self):
+        """Model variables replicated across the mesh (cached)."""
+        if self.mesh is None:
+            return self.variables
+        if not hasattr(self, "_vars_replicated"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            self._vars_replicated = jax.device_put(self.variables, rep)
+        return self._vars_replicated
 
     def _bucket_slice(self, tmpl_masks, tmpl_valid, extras=()):
         """Slice template arrays down to the active-object bucket. Valid
@@ -338,13 +365,23 @@ class InferenceEngine:
         """
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(self._chunk_step)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            if frames.shape[1] % n_data:
+                raise ValueError(
+                    f"sequence batch {frames.shape[1]} not divisible by "
+                    f"mesh data axis {n_data}")
+        variables = self._replicated_variables()
         T = frames.shape[0]
-        tmpl_masks = jnp.asarray(tmpl_masks)
-        tmpl_valid = jnp.asarray(tmpl_valid)
-        tmpl_feats = self._init_feats(self.variables,
-                                      jnp.asarray(frames[0]), tmpl_masks)
-        state = self.model.apply(self.variables, tmpl_masks,
+        tmpl_masks = self._seq_sharded(tmpl_masks)
+        tmpl_valid = self._seq_sharded(tmpl_valid)
+        tmpl_feats = self._init_feats(variables,
+                                      self._seq_sharded(frames[0]),
+                                      tmpl_masks)
+        state = self.model.apply(variables, tmpl_masks,
                                  method=DMMNet.init_state)
+        if self.mesh is not None:
+            state = jax.tree_util.tree_map(self._seq_sharded, state)
         labels_out, assign_out = [], []
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
@@ -352,12 +389,14 @@ class InferenceEngine:
 
             def pad(x):
                 if k == chunk:
-                    return jnp.asarray(x[t0:t1])
+                    return self._seq_sharded(x[t0:t1], time_leading=True)
                 padding = [(0, chunk - k)] + [(0, 0)] * (x.ndim - 1)
-                return jnp.asarray(np.pad(x[t0:t1], padding, mode="edge"))
+                return self._seq_sharded(np.pad(x[t0:t1], padding,
+                                                mode="edge"),
+                                         time_leading=True)
 
             labels, X, state = self._chunk_jit(
-                self.variables, pad(frames), pad(prop_masks),
+                variables, pad(frames), pad(prop_masks),
                 pad(prop_valid), tmpl_feats, tmpl_valid, state)
             labels_out.append(np.asarray(labels[:k]))
             assign_out.append(np.asarray(X[:k]))

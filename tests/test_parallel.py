@@ -123,3 +123,56 @@ def test_sharded_batched_inference_matches_single_device(devices):
                                atol=2e-4, rtol=2e-4)
     mismatch = (np.asarray(labels_1) != np.asarray(labels_8)).mean()
     assert mismatch < 1e-3, mismatch
+
+
+def test_sharded_inference_matches_single_device(devices):
+    """Mesh-sharded batched inference (engine `mesh=` arg): 8 sequences
+    sharded over the 8-device data axis produce the same labels and
+    assignments as the unsharded engine. Sequences are chip-local, so
+    this path must need zero collectives (SURVEY.md §3.3 SP row)."""
+    from dmm_net_tpu.data.synthetic import synthetic_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+
+    cfg = _cfg()
+    model = DMMNet(cfg)
+    seqs = [synthetic_sequence(seed=100 + b, T=4, H=64, W=64, num_objects=2,
+                               num_proposals=cfg.matching.max_proposals)
+            for b in range(8)]
+    M = cfg.matching.max_templates
+
+    def pad_m(x, axis=0):
+        p = [(0, 0)] * x.ndim
+        p[axis] = (0, M - x.shape[axis])
+        return np.pad(x, p)
+
+    frames = np.stack([s["frames"] for s in seqs], axis=1)   # (T, B, ...)
+    pm = np.stack([s["prop_masks"] for s in seqs], axis=1)
+    pv = np.stack([s["prop_valid"] for s in seqs], axis=1)
+    tm = np.stack([pad_m(s["tmpl_masks"]) for s in seqs])    # (B, M, H, W)
+    tv = np.stack([pad_m(s["tmpl_valid"]) for s in seqs])
+
+    st0 = FrameState(
+        template_masks=jnp.asarray(tm),
+        decoder_state=jnp.zeros((8, M, 2, 2, decoder_state_dim(cfg))))
+    variables = model.init(jax.random.PRNGKey(0), frames[0], pm[0], pv[0],
+                           jnp.zeros((8, M, cfg.model.feature_dim)), tv,
+                           st0)
+
+    plain = InferenceEngine(cfg, model=model, variables=variables,
+                            bucket_templates=False)
+    r0 = plain.run_sequence_chunked(frames, pm, pv, tm, tv, chunk=3)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = InferenceEngine(cfg, model=model, variables=variables,
+                              bucket_templates=False, mesh=mesh)
+    r1 = sharded.run_sequence_chunked(frames, pm, pv, tm, tv, chunk=3)
+
+    np.testing.assert_array_equal(r0["labels"], r1["labels"])
+    np.testing.assert_allclose(r0["assignments"], r1["assignments"],
+                               rtol=1e-5, atol=1e-5)
+
+    # batch not divisible by the data axis -> explicit error
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded.run_sequence_chunked(frames[:, :6], pm[:, :6], pv[:, :6],
+                                     tm[:6], tv[:6], chunk=3)
