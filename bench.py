@@ -3,15 +3,30 @@
 
 Driver contract: prints ONE JSON line
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-plus pinned-config fields (batch, preset, decoder variant, GFLOP/frame,
-%-of-bf16-peak) for round-over-round comparability.
+plus pinned-config fields (mode, chunk, batch, preset, decoder variant,
+GFLOP/frame, %-of-bf16-peak) for round-over-round comparability.
 
-Measures the steady-state per-frame inference step of the flagship
-ResNet-50 model (multi-object DAVIS config p3: 256x448, M=16 templates,
-N=128 proposals, fused Pallas matcher) on the default JAX device — the
-BASELINE.json:2 metric "end-to-end frames/sec/chip (matching+refine)".
-Proposal generation is excluded, matching the reference's offline-proposal
-protocol (SURVEY.md §4.3).
+Measures the flagship ResNet-50 multi-object configuration (p3: 256x448,
+M=16 templates, N=128 proposals, fused Pallas matcher, bf16 mask path) on
+the default JAX device — the BASELINE.json:2 metric "end-to-end
+frames/sec/chip (matching+refine)". Proposal generation is excluded,
+matching the reference's offline-proposal protocol (SURVEY.md §4.3).
+
+Measured region (mode=chunked_scan, the default): the PRODUCTION dispatch
+shape — `InferenceEngine._chunk_step_compact`, a K-frame `lax.scan` whose
+per-frame inputs are compact proposals (boxes + 28x28 box-local masks)
+pasted to full resolution on device, with carried template/decoder state.
+This is exactly what `run_sequence_chunked`/`run_stream_chunked` execute
+per dispatch in streaming inference (config #4). Chunked dispatch also
+amortizes host->device dispatch latency over K*B frames, so the number
+reflects device throughput rather than the relay/PCIe round-trip of the
+harness (the tunnel's dispatch latency was observed to swing 0.5 -> 9 ms
+between sessions — a per-frame-dispatch bench swings with it, a chunked
+one does not). Per-frame proposals differ frame to frame (fresh paste from
+per-frame boxes/masks inside the scan), so no matcher input is
+loop-invariant — XLA cannot hoist stage work out of the measured loop.
+
+BENCH_MODE=frame restores the round-1 per-frame-dispatch measurement.
 
 On TPU the session also runs a compiled parity check of the fused Pallas
 matcher against the jnp path (interpret-mode tests alone cannot catch
@@ -46,33 +61,34 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
-    from dmm_net_tpu.infer.engine import resolve_overlaps
+    from dmm_net_tpu.infer.engine import InferenceEngine, resolve_overlaps
     from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
 
-    # B=4 batched frames (acceptance config #3 explicitly allows batched
-    # frames); bench/bench_e2e.py sweep shows B=4 is the v5e throughput knee.
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    mode = os.environ.get("BENCH_MODE", "chunked_scan")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    K = int(os.environ.get("BENCH_CHUNK", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     cfg = preset("p3_multi_object")
     H, W = cfg.model.image_size
     M, N = cfg.matching.max_templates, cfg.matching.max_proposals
     model = DMMNet(cfg)
     rng = np.random.RandomState(0)
+
+    # representative single-frame arrays (also used by the parity check)
     frame = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
     pm = jnp.asarray(rng.rand(B, N, H, W) > 0.8, jnp.float32)
     pv = jnp.ones((B, N), bool)
     tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
     tv = jnp.ones((B, M), bool)
     state = FrameState(
-        template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32),
+        template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8,
+                                   jnp.float32).astype(
+            jnp.bfloat16 if cfg.model.mask_dtype == "bfloat16"
+            else jnp.float32),
         decoder_state=jnp.zeros((B, M, H // 32, W // 32,
                                  decoder_state_dim(cfg))))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
-
-    @jax.jit
-    def step(frame, pm, pv, tf_, tv, state):
-        out, new_state = model.apply(variables, frame, pm, pv, tf_, tv, state)
-        return resolve_overlaps(out.logits, tv), new_state
 
     # ---- compiled Pallas-vs-jnp matcher parity (TPU only) --------------
     parity = None
@@ -95,28 +111,75 @@ def main():
         parity = float(np.max(np.abs(xa - xb)))
         assert parity < 5e-3, f"compiled Pallas/jnp divergence {parity}"
 
-    labels, state = step(frame, pm, pv, tf_, tv, state)
-    jax.block_until_ready(labels)
+    if mode == "frame":
+        # round-1 measurement: one dispatch per frame step
+        @jax.jit
+        def step(frame, pm, pv, tf_, tv, state):
+            out, new_state = model.apply(variables, frame, pm, pv, tf_, tv,
+                                         state)
+            return resolve_overlaps(out.logits, tv), new_state
 
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        labels, state = step(frame, pm, pv, tf_, tv, state)
-    jax.block_until_ready((labels, state))
-    dt = time.perf_counter() - t0
-    fps = iters * B / dt
+        lowered = step.lower(frame, pm, pv, tf_, tv, state)
+        labels, st = step(frame, pm, pv, tf_, tv, state)
+        jax.block_until_ready(labels)
+        n_iters = max(iters, 30)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            labels, st = step(frame, pm, pv, tf_, tv, state)
+        jax.block_until_ready((labels, st))
+        dt = time.perf_counter() - t0
+        frames_done = n_iters * B
+    else:
+        # production chunked dispatch: K-frame scan, compact proposals
+        # pasted on device per frame (engine._chunk_step_compact — the
+        # same jitted function run_sequence_chunked/run_stream_chunked use)
+        engine = InferenceEngine(cfg, model=model, variables=variables,
+                                 update_templates=True)
+        frames_u8 = jnp.asarray(
+            (rng.rand(K, B, H, W, 3) * 255).astype(np.uint8))
+        cy = rng.rand(K, B, N, 1) * H
+        cx = rng.rand(K, B, N, 1) * W
+        bh = rng.rand(K, B, N, 1) * H * 0.3 + 8
+        bw = rng.rand(K, B, N, 1) * W * 0.3 + 8
+        boxes = jnp.asarray(np.concatenate(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+            axis=-1).astype(np.float32))
+        m28 = jnp.asarray(
+            (rng.rand(K, B, N, 28, 28) > 0.4).astype(np.uint8))
+        pvk = jnp.ones((K, B, N), bool)
+
+        chunk_step = jax.jit(engine._chunk_step_compact)
+        lowered = chunk_step.lower(variables, frames_u8, boxes, m28, pvk,
+                                   tf_, tv, state)
+        labels, X, st = chunk_step(variables, frames_u8, boxes, m28, pvk,
+                                   tf_, tv, state)
+        jax.block_until_ready(labels)
+        t0 = time.perf_counter()
+        st_t = state
+        for _ in range(iters):
+            labels, X, st_t = chunk_step(variables, frames_u8, boxes, m28,
+                                         pvk, tf_, tv, st_t)
+        jax.block_until_ready((labels, st_t))
+        dt = time.perf_counter() - t0
+        frames_done = iters * K * B
+
+    fps = frames_done / dt
 
     # ---- MFU: XLA-counted FLOPs per frame vs v5e bf16 peak --------------
+    # cost_analysis counts a lax.scan (while-loop) BODY ONCE, not K times,
+    # so in chunked mode the flops correspond to one frame-batch of B
+    # frames (plus negligible outside-loop ops).
     gflop_per_frame = mfu_pct = None
     try:
-        cost = step.lower(frame, pm, pv, tf_, tv, state).compile() \
-                   .cost_analysis()
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
+        per_count_frames = B
         if flops > 0:
-            gflop_per_frame = flops / B / 1e9
-            mfu_pct = 100.0 * flops * fps / B / V5E_BF16_PEAK_FLOPS
+            gflop_per_frame = flops / per_count_frames / 1e9
+            mfu_pct = (100.0 * flops * fps / per_count_frames
+                       / V5E_BF16_PEAK_FLOPS)
     except Exception:
         pass
 
@@ -126,11 +189,14 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
         # pinned context for round-over-round comparability
+        "mode": mode,
         "batch": B,
+        "chunk": None if mode == "frame" else K,
         "preset": cfg.name,
         "image_size": [H, W],
         "M": M, "N": N,
         "decoder_variant": cfg.model.decoder_variant,
+        "mask_dtype": cfg.model.mask_dtype,
         "use_pallas": cfg.matching.use_pallas,
         "pallas_parity_max_abs": parity,
         "gflop_per_frame": None if gflop_per_frame is None

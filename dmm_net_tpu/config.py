@@ -62,6 +62,14 @@ class ModelConfig:
     feature_dim: int = 256         # pooled mask-feature dim
     decoder_dim: int = 128
     decoder_dtype: str = "float32"  # "bfloat16" halves decoder HBM traffic
+    # Dtype masks travel in (proposal masks, template carry, aggregation).
+    # The frame step is HBM-bandwidth-bound and full-resolution proposal
+    # masks are its largest tensors (N=128 @ 256x448 f32 = 59 MB/frame,
+    # read 3x: pool-resize, cost-resize, aggregation) — "bfloat16" halves
+    # that traffic. Cost/IoU math still runs fp32 on the small downsampled
+    # mask matrices, and soft masks in [0,1] lose nothing material at
+    # bf16's 8-bit mantissa. Training presets keep float32.
+    mask_dtype: str = "float32"
     decoder_fine_level: str = "c2"  # "c3" = fast mode (~80% fewer decoder FLOPs)
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
     # Decoder structure: "shared" = object-proportional SharedFPNDecoder
@@ -139,6 +147,29 @@ class Config:
             out = _replace_path(out, parts, value)
         return out
 
+    def to_dict(self) -> dict:
+        """Nested plain-python dict (msgpack/json-safe; tuples -> lists)."""
+        return dataclasses.asdict(self)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Inverse of Config.to_dict. Lists are coerced back to tuples (the
+    only tuple-typed fields are int pairs; no config field is a list)."""
+    def build(cls, node):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in node:
+                continue
+            v = node[f.name]
+            if f.default_factory is not dataclasses.MISSING and \
+                    dataclasses.is_dataclass(f.default_factory()):
+                v = build(type(f.default_factory()), v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+    return build(Config, d)
+
 
 def _replace_path(node, parts, value):
     if len(parts) == 1:
@@ -172,7 +203,7 @@ def _p2_single_object() -> Config:
         name="p2_single_object",
         matching=MatchingConfig(max_templates=1, max_proposals=64,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=1),
     )
 
@@ -183,7 +214,7 @@ def _p3_multi_object() -> Config:
         name="p3_multi_object",
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
         data=DataConfig(dataset="davis", batch_size=4),
     )
 
@@ -194,7 +225,7 @@ def _p4_ytvos_stream() -> Config:
         name="p4_ytvos_stream",
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )
 

@@ -46,6 +46,10 @@ def synthetic_sequence(seed: int = 0, T: int = 8, H: int = 128, W: int = 128,
       tmpl_masks  (M, H, W) = gt_masks[0]
       tmpl_valid  (M,) bool
       gt_assignment (T, M) int — planted optimal proposal index per frame
+      shapes      (M,) int — shape family per object ({0: rect, 1: circle};
+                  maps onto synthetic_detection_frame classes 1=rect,
+                  2=ellipse, so a detector fine-tuned on video frames keeps
+                  consistent class semantics)
     """
     rng = np.random.RandomState(seed)
     M, N = num_objects, num_proposals
@@ -101,6 +105,7 @@ def synthetic_sequence(seed: int = 0, T: int = 8, H: int = 128, W: int = 128,
         "tmpl_masks": gt[0].copy(),
         "tmpl_valid": np.ones((M,), bool),
         "gt_assignment": assign,
+        "shapes": shapes.astype(np.int32),
     }
 
 

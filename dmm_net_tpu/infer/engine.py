@@ -180,9 +180,11 @@ class InferenceEngine:
         masks (~58 MB/frame at 256x448, N=128); pasting to (B, N, H, W)
         happens on device. This is what keeps the PCIe/tunnel H2D path off
         the critical path for streaming inference."""
+        from dmm_net_tpu.models.dmm import _mask_dtype
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
-        pm = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W)))(
+        mdt = _mask_dtype(self.cfg)
+        pm = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W), dtype=mdt))(
             prop_masks28.astype(jnp.float32), prop_boxes, prop_valid)
         return self._frame_step(variables, frame, pm, prop_valid,
                                 tmpl_feats, tmpl_valid, state)
@@ -310,7 +312,8 @@ class InferenceEngine:
             elif gated:
                 live_px = valid_t[..., None, None]
                 new_st = new_st._replace(template_masks=jnp.where(
-                    live_px, new_st.template_masks, tmpl_masks0))
+                    live_px, new_st.template_masks,
+                    tmpl_masks0.astype(new_st.template_masks.dtype)))
             return (new_st, t + 1), (labels, out.assignment)
 
         t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0
@@ -325,14 +328,17 @@ class InferenceEngine:
         boundary (~0.4 MB/frame vs ~58 MB full-res); pasting happens inside
         the scan. With K-frame chunks this is ONE H2D batch per K frames —
         the production streaming configuration (config #4)."""
+        from dmm_net_tpu.models.dmm import _mask_dtype
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
+        mdt = _mask_dtype(self.cfg)
         gated = live_from is not None
 
         def step(carry, xs):
             st, t = carry
             frame, boxes, m28, pvalid = xs
-            pmask = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W)))(
+            pmask = jax.vmap(
+                lambda m, b, v: paste_masks(m, b, v, (H, W), dtype=mdt))(
                 m28.astype(jnp.float32), boxes, pvalid)
             valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
             out, new_st = self.model.apply(variables, frame, pmask, pvalid,
@@ -343,7 +349,8 @@ class InferenceEngine:
             elif gated:
                 live_px = valid_t[..., None, None]
                 new_st = new_st._replace(template_masks=jnp.where(
-                    live_px, new_st.template_masks, tmpl_masks0))
+                    live_px, new_st.template_masks,
+                    tmpl_masks0.astype(new_st.template_masks.dtype)))
             return (new_st, t + 1), (labels, out.assignment)
 
         t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0

@@ -80,13 +80,17 @@ class DMMNet(nn.Module):
         the matching feature space as key 'emb' (stride 16).
 
         uint8 frames are ImageNet-normalized on device (so hosts transfer
-        1 byte/px over PCIe); float frames are assumed pre-normalized."""
+        1 byte/px over PCIe); float frames are assumed pre-normalized.
+
+        The pyramid keeps the backbone's compute dtype (bf16 in the
+        inference presets — downstream consumers cast where they need f32,
+        so materializing f32 copies here would only double HBM traffic);
+        'emb' is always f32 (the cost matrix is precision-pinned)."""
         if frames.dtype == jnp.uint8:
             from dmm_net_tpu.data.pipeline import normalize_frames
             frames = normalize_frames(frames)
-        feats = self.backbone(frames)
-        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
-        feats["emb"] = self.feat_proj(feats["c4"])
+        feats = dict(self.backbone(frames))
+        feats["emb"] = self.feat_proj(feats["c4"].astype(jnp.float32))
         return feats
 
     def pool_mask_features(self, feats: Dict[str, jnp.ndarray],
@@ -127,8 +131,12 @@ class DMMNet(nn.Module):
                   row_mask: jnp.ndarray) -> jnp.ndarray:
         """Soft aggregation (component #9): M̂_i = Σ_j X_ij · mask_j.
 
-        X (B, M, N), prop_masks (B, N, H, W) -> (B, M, H, W)."""
-        agg = jnp.einsum("bmn,bnhw->bmhw", X, prop_masks.astype(jnp.float32))
+        X (B, M, N), prop_masks (B, N, H, W) -> (B, M, H, W) f32.
+        Runs at the masks' dtype (bf16 under mask_dtype=bfloat16 — the
+        full-res mask read dominates this op) with f32 accumulation."""
+        agg = jnp.einsum("bmn,bnhw->bmhw", X.astype(prop_masks.dtype),
+                         prop_masks,
+                         preferred_element_type=jnp.float32)
         return jnp.where(row_mask[..., None, None], agg, 0.0)
 
     def __call__(self, frame: jnp.ndarray,
@@ -169,6 +177,14 @@ class DMMNet(nn.Module):
         if feats is None:
             feats = self.extract_features(frame)
         cfg = self.config
+        # Masks travel at mask_dtype (bf16 in inference presets): the
+        # full-res (B, N, H, W) proposal tensor dominates this phase's HBM
+        # traffic and is only ever *read* here (resized down for pooling
+        # and the cost IoU — both fp32-upcast on the small side).
+        mdt = _mask_dtype(cfg)
+        prop_masks = prop_masks.astype(mdt)
+        state = state._replace(
+            template_masks=state.template_masks.astype(mdt))
         if cfg.matching.use_pallas:
             # fused Pallas path: pooling + cost + Sinkhorn in ONE kernel
             # (HBM round trip per frame instead of per op)
@@ -179,10 +195,15 @@ class DMMNet(nn.Module):
             def rs(m, hw):
                 return jax.image.resize(m, m.shape[:2] + hw, method="bilinear")
 
-            pm_pool = rs(prop_masks, (eh, ew)).reshape(B, prop_masks.shape[1], -1)
+            # resizes read the (possibly bf16) full-res masks; the small
+            # downsampled results are pinned back to f32 for the kernel's
+            # precision-sensitive cost/solver math
+            pm_pool = rs(prop_masks, (eh, ew)).reshape(
+                B, prop_masks.shape[1], -1).astype(jnp.float32)
             tm_cost = rs(state.template_masks, (mh, mw)).reshape(
-                B, state.template_masks.shape[1], -1)
-            pm_cost = rs(prop_masks, (mh, mw)).reshape(B, prop_masks.shape[1], -1)
+                B, state.template_masks.shape[1], -1).astype(jnp.float32)
+            pm_cost = rs(prop_masks, (mh, mw)).reshape(
+                B, prop_masks.shape[1], -1).astype(jnp.float32)
             X = fused_pool_cost_match(
                 emb.reshape(B, eh * ew, D), pm_pool, tm_cost, pm_cost,
                 tmpl_feats, tmpl_valid, prop_valid,
@@ -205,6 +226,7 @@ class DMMNet(nn.Module):
         Split out of __call__ so the engine's Hungarian decode — a host-side
         one-to-one solve that cannot live under jit — can harden X between
         two jitted halves (SURVEY.md §4.2 inference decode, flagged verify)."""
+        prop_masks = prop_masks.astype(_mask_dtype(self.config))
         agg = self.aggregate(X, prop_masks, tmpl_valid)
         logits, dec_state = self.decoder(feats, agg, state.decoder_state)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
@@ -213,8 +235,9 @@ class DMMNet(nn.Module):
             new_templates = jnp.clip(agg, 0.0, 1.0)
         else:
             new_templates = jax.nn.sigmoid(logits)
-        new_state = FrameState(template_masks=new_templates,
-                               decoder_state=dec_state)
+        new_state = FrameState(
+            template_masks=new_templates.astype(_mask_dtype(self.config)),
+            decoder_state=dec_state)
         return out, new_state
 
     # ------------------------------------------------------------------
@@ -222,6 +245,11 @@ class DMMNet(nn.Module):
     # ------------------------------------------------------------------
     def init_state(self, tmpl_masks: jnp.ndarray) -> FrameState:
         return init_frame_state(self.config, tmpl_masks)
+
+
+def _mask_dtype(cfg: Config):
+    return (jnp.bfloat16 if cfg.model.mask_dtype == "bfloat16"
+            else jnp.float32)
 
 
 def decoder_state_dim(cfg: Config) -> int:
@@ -237,5 +265,5 @@ def init_frame_state(cfg: Config, tmpl_masks: jnp.ndarray) -> FrameState:
     B, M, H, W = tmpl_masks.shape
     h32, w32 = H // 32, W // 32
     dec = jnp.zeros((B, M, h32, w32, decoder_state_dim(cfg)), jnp.float32)
-    return FrameState(template_masks=tmpl_masks.astype(jnp.float32),
+    return FrameState(template_masks=tmpl_masks.astype(_mask_dtype(cfg)),
                       decoder_state=dec)

@@ -267,46 +267,64 @@ class MaskRCNN(nn.Module):
                 "mask_logits": mask_logits}
 
 
+def _paste_interp(coord: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Per-output-pixel bilinear row weights into an m-bin source axis.
+
+    coord (..., P) continuous source coordinates; returns (..., P, m) with
+    R[..., p, i] = bilinear weight of source bin i at output pixel p, and
+    all-zero rows for pixels outside (-0.5, m - 0.5) (outside the box).
+    Border semantics match ROI-Align edge-replication: coordinates in the
+    half-pixel border clamp to the edge bin with full weight."""
+    inside = (coord > -0.5) & (coord < m - 0.5)
+    c0 = jnp.clip(jnp.floor(coord), 0, m - 1)
+    d = jnp.clip(coord - c0, 0.0, 1.0)
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.clip(c0i + 1, 0, m - 1)
+    R = ((1.0 - d)[..., None] * jax.nn.one_hot(c0i, m, dtype=jnp.float32)
+         + d[..., None] * jax.nn.one_hot(c1i, m, dtype=jnp.float32))
+    return R * inside[..., None]
+
+
 def paste_masks(masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
                 image_size: Tuple[int, int],
-                threshold: float = 0.5) -> jnp.ndarray:
+                threshold: float = 0.5,
+                dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """Paste (D, 28, 28) box masks into (D, H, W) image masks.
 
-    Vectorized inverse-mapping: for every image pixel compute its
-    coordinate inside the box and bilinear-sample the 28x28 mask; pixels
-    outside the box get 0. The TPU-friendly replacement for the reference's
-    per-box Masker paste loop."""
+    Separable inverse-mapping: bilinear upsampling factors into
+    independent row/column interpolations, so the paste is two MXU
+    einsums per mask —
+
+        out = R_v @ m @ R_u^T,   R_v (H, mh), R_u (W, mw)
+
+    where R_v/R_u carry the per-box bilinear weights and zero rows for
+    pixels outside the box (the product of a zero row with anything is 0,
+    which reproduces the outside-box masking exactly). This replaces both
+    the reference's per-box CPU Masker paste loop and a naive per-pixel
+    gather formulation — gathers of 4*H*W scalars per mask lower
+    catastrophically on TPU (measured ~1.4 s/frame at N=128, 256x448,
+    vs sub-ms for the einsum form), while (H, mh) x (mh, mw) x (mw, W)
+    matmuls are exactly what the MXU is for.
+
+    Pixel i samples at its center i + 0.5 (same convention as roi_align /
+    crop_gt_mask); sampling at the raw index would shift masks 0.5 px.
+
+    `dtype` sets the output element type: callers on the bandwidth-bound
+    inference path pass the config's mask_dtype (bf16) so the full-res
+    masks are *written* at their travel dtype instead of being converted
+    in a separate 59 MB/frame pass."""
     H, W = image_size
     D, mh, mw = masks.shape
-    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]     # (1, H, 1)
-    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]     # (1, 1, W)
-    x1 = boxes[:, 0][:, None, None]
-    y1 = boxes[:, 1][:, None, None]
-    bw = jnp.maximum(boxes[:, 2][:, None, None] - x1, 1e-3)
-    bh = jnp.maximum(boxes[:, 3][:, None, None] - y1, 1e-3)
-    # pixel i's center is i + 0.5 (same convention as roi_align /
-    # crop_gt_mask); sampling at the raw index shifts masks 0.5px
-    u = (xs + 0.5 - x1) / bw * mw - 0.5                      # (D, H, W)
-    v = (ys + 0.5 - y1) / bh * mh - 0.5
-    inside = (u > -0.5) & (u < mw - 0.5) & (v > -0.5) & (v < mh - 0.5)
-    u0 = jnp.clip(jnp.floor(u), 0, mw - 1)
-    v0 = jnp.clip(jnp.floor(v), 0, mh - 1)
-    du = jnp.clip(u - u0, 0, 1)
-    dv = jnp.clip(v - v0, 0, 1)
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
-    u1i = jnp.clip(u0i + 1, 0, mw - 1)
-    v1i = jnp.clip(v0i + 1, 0, mh - 1)
-
-    def g(m, vi, ui):
-        flat = m.reshape(-1)
-        return flat[vi * mw + ui]
-
-    out = jax.vmap(lambda m, v0_, v1_, u0_, u1_, du_, dv_: (
-        g(m, v0_, u0_) * (1 - dv_) * (1 - du_) +
-        g(m, v0_, u1_) * (1 - dv_) * du_ +
-        g(m, v1_, u0_) * dv_ * (1 - du_) +
-        g(m, v1_, u1_) * dv_ * du_))(masks, v0i, v1i, u0i, u1i, du, dv)
-    out = jnp.where(inside, out, 0.0)
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :]           # (1, H)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]           # (1, W)
+    x1, y1 = boxes[:, 0][:, None], boxes[:, 1][:, None]
+    bw = jnp.maximum(boxes[:, 2][:, None] - x1, 1e-3)
+    bh = jnp.maximum(boxes[:, 3][:, None] - y1, 1e-3)
+    u = (xs + 0.5 - x1) / bw * mw - 0.5                      # (D, W)
+    v = (ys + 0.5 - y1) / bh * mh - 0.5                      # (D, H)
+    Rv = _paste_interp(v, mh)                                # (D, H, mh)
+    Ru = _paste_interp(u, mw)                                # (D, W, mw)
+    t = jnp.einsum("dhi,dij->dhj", Rv, masks.astype(jnp.float32))
+    out = jnp.einsum("dhj,dwj->dhw", t, Ru)
     out = jnp.where(valid[:, None, None], out, 0.0)
-    return (out > threshold).astype(jnp.float32)
+    return (out > threshold).astype(dtype)

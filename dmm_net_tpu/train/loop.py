@@ -117,7 +117,8 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
             # decoder feedback would wipe it before the object appears)
             live_px = valid_t[..., None, None]
             new_st = new_st._replace(template_masks=jnp.where(
-                live_px, new_st.template_masks, tmpl_masks))
+                live_px, new_st.template_masks,
+                tmpl_masks.astype(new_st.template_masks.dtype)))
         return (new_st, tfeats), out.logits
 
     if cfg.train.remat:

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--distinct-batches", type=int, default=64,
                     help="synthetic batches are precomputed once and "
                     "cycled, so long runs are device-bound, not host-bound")
+    ap.add_argument("--save", default=None,
+                    help="write the trained DMM variables as flax msgpack "
+                    "(consumed by examples/full_system_synthetic.py)")
     ap.add_argument("--ablate", action="store_true",
                     help="after training, score the SAME weights under "
                     "decode soft/argmax/hungarian and both template-update "
@@ -93,6 +96,14 @@ def main():
 
     # ---- inference with trained weights ----
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.save:
+        from flax import serialization
+        os.makedirs(os.path.dirname(os.path.abspath(args.save)), exist_ok=True)
+        with open(args.save, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                {"config": cfg.to_dict(),
+                 "variables": jax.device_get(variables)}))
+        print(f"saved DMM variables + config to {args.save}")
     model = DMMNet(cfg)
     engine = InferenceEngine(cfg, model=model, variables=variables,
                              update_templates=True)

@@ -45,6 +45,11 @@ def main():
                     "file tools/extract_proposals.py --params consumes "
                     "(closes the train->extract->cache->infer loop, "
                     "VERDICT r1 #5)")
+    ap.add_argument("--init", default=None,
+                    help="initialize from a saved msgpack (same format as "
+                    "--save) and fine-tune — the synthetic analog of the "
+                    "reference's COCO -> YT-VOS detector fine-tune "
+                    "(SURVEY.md §1.1)")
     args = ap.parse_args()
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
@@ -75,7 +80,6 @@ def main():
                                           num_classes=args.num_classes)
             return (d["image"][None], d["boxes"], d["labels"], d["valid"],
                     d["masks"])
-        rng = np.random.RandomState(seed)
         seq = synthetic_sequence(seed=seed, T=1, H=H, W=W,
                                  num_objects=min(2, G), num_proposals=4)
         img = seq["frames"][0]
@@ -90,7 +94,9 @@ def main():
             if ys.size == 0:
                 continue
             boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-            labels[i] = 1 + (i % (args.num_classes - 1))
+            # class = shape family, consistent with the detection set
+            # (video {0: rect, 1: circle} -> classes {1: rect, 2: ellipse})
+            labels[i] = 1 + (int(seq["shapes"][i]) % (args.num_classes - 1))
             valid[i] = True
             gt_masks[i] = masks[i]
         return (img[None].astype(np.float32), boxes, labels, valid, gt_masks)
@@ -100,6 +106,11 @@ def main():
                      post_nms_top_n=32, max_detections=16)
     img0, *_ = sample(0)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img0))
+    if args.init:
+        from flax import serialization
+        with open(args.init, "rb") as f:
+            variables = serialization.msgpack_restore(f.read())
+        log.info("initialized from %s", args.init)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adamw(args.lr, weight_decay=1e-5)
