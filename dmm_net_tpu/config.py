@@ -148,8 +148,15 @@ class Config:
         return out
 
     def to_dict(self) -> dict:
-        """Nested plain-python dict (msgpack/json-safe; tuples -> lists)."""
-        return dataclasses.asdict(self)
+        """Nested plain-python dict (msgpack/json-safe; tuples -> lists —
+        dataclasses.asdict alone keeps tuples, which msgpack rejects)."""
+        def detuple(x):
+            if isinstance(x, dict):
+                return {k: detuple(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [detuple(v) for v in x]
+            return x
+        return detuple(dataclasses.asdict(self))
 
 
 def config_from_dict(d: dict) -> Config:

@@ -117,9 +117,10 @@ def main():
         det_valid = np.zeros((T, N), bool)
         recalls = []
         for t in range(T):
+            # MaskRCNN takes a batch-1 image but returns unbatched
+            # (D, ...) detections (D = max_detections)
             full, scores, valid = jax.device_get(
                 detect(jnp.asarray(seq["frames"][t][None])))
-            full, scores, valid = full[0], scores[0], valid[0]
             order = np.argsort(-np.where(valid, scores, -np.inf))
             det_props[t] = (full[order] > 0.5).astype(np.float32)
             det_valid[t] = valid[order]
