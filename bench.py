@@ -62,7 +62,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import InferenceEngine, resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
     mode = os.environ.get("BENCH_MODE", "chunked_scan")
     B = int(os.environ.get("BENCH_BATCH", "8"))
@@ -80,13 +80,9 @@ def main():
     pv = jnp.ones((B, N), bool)
     tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
     tv = jnp.ones((B, M), bool)
-    state = FrameState(
-        template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8,
-                                   jnp.float32).astype(
-            jnp.bfloat16 if cfg.model.mask_dtype == "bfloat16"
-            else jnp.float32),
-        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 decoder_state_dim(cfg))))
+    # init_frame_state owns the carried grid/dtype (mask_res / mask_dtype)
+    state = init_frame_state(
+        cfg, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
 

@@ -70,6 +70,17 @@ class ModelConfig:
     # mask matrices, and soft masks in [0,1] lose nothing material at
     # bf16's 8-bit mantissa. Training presets keep float32.
     mask_dtype: str = "float32"
+    # Resolution masks live at inside the frame step: "full" (H, W) or
+    # "stride4" (H/4, W/4). Aggregation is LINEAR in the proposal masks,
+    # so resize(sum_j X_ij m_j) == sum_j X_ij resize(m_j) exactly — and
+    # with template_update="decoder" the decoder only ever *downsamples*
+    # the aggregated mask (its finest skip is stride 4), so stride4
+    # residency changes nothing the decoder sees while cutting all
+    # full-resolution proposal-mask traffic (paste, resizes, aggregation)
+    # by 16x. Output logits stay full-resolution (the decoder upsamples
+    # at the end as before). Cost/pool masks are derived from the
+    # stride-4 masks (a resize of a resize — quality-validated A/B).
+    mask_res: str = "full"
     decoder_fine_level: str = "c2"  # "c3" = fast mode (~80% fewer decoder FLOPs)
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
     # Decoder structure: "shared" = object-proportional SharedFPNDecoder
@@ -210,7 +221,8 @@ def _p2_single_object() -> Config:
         name="p2_single_object",
         matching=MatchingConfig(max_templates=1, max_proposals=64,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
+                          mask_res="stride4"),
         data=DataConfig(dataset="davis", batch_size=1),
     )
 
@@ -221,7 +233,8 @@ def _p3_multi_object() -> Config:
         name="p3_multi_object",
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
+                          mask_res="stride4"),
         data=DataConfig(dataset="davis", batch_size=4),
     )
 
@@ -232,7 +245,8 @@ def _p4_ytvos_stream() -> Config:
         name="p4_ytvos_stream",
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
-        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16"),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
+                          mask_res="stride4"),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )
 

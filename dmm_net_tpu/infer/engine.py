@@ -49,6 +49,15 @@ def _davis_palette() -> np.ndarray:
 DAVIS_PALETTE = _davis_palette()
 
 
+def _grid_like(m: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Match a host-provided mask stack to the carried template grid
+    (dtype + resolution — masks live at mask_hw under mask_res=stride4)."""
+    if m.shape[-2:] != ref.shape[-2:]:
+        m = jax.image.resize(m, m.shape[:-2] + ref.shape[-2:],
+                             method="bilinear")
+    return m.astype(ref.dtype)
+
+
 def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
                      bg_threshold: float = 0.5) -> jnp.ndarray:
     """Pixel-wise argmax over background + objects.
@@ -180,11 +189,14 @@ class InferenceEngine:
         masks (~58 MB/frame at 256x448, N=128); pasting to (B, N, H, W)
         happens on device. This is what keeps the PCIe/tunnel H2D path off
         the critical path for streaming inference."""
-        from dmm_net_tpu.models.dmm import _mask_dtype
+        from dmm_net_tpu.models.dmm import _mask_dtype, mask_hw
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
+        mh, mw = mask_hw(self.cfg)
+        scale = mh / H                       # 1.0 or 0.25 (stride4)
         mdt = _mask_dtype(self.cfg)
-        pm = jax.vmap(lambda m, b, v: paste_masks(m, b, v, (H, W), dtype=mdt))(
+        pm = jax.vmap(
+            lambda m, b, v: paste_masks(m, b * scale, v, (mh, mw), dtype=mdt))(
             prop_masks28.astype(jnp.float32), prop_boxes, prop_valid)
         return self._frame_step(variables, frame, pm, prop_valid,
                                 tmpl_feats, tmpl_valid, state)
@@ -313,7 +325,7 @@ class InferenceEngine:
                 live_px = valid_t[..., None, None]
                 new_st = new_st._replace(template_masks=jnp.where(
                     live_px, new_st.template_masks,
-                    tmpl_masks0.astype(new_st.template_masks.dtype)))
+                    _grid_like(tmpl_masks0, new_st.template_masks)))
             return (new_st, t + 1), (labels, out.assignment)
 
         t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0
@@ -328,9 +340,11 @@ class InferenceEngine:
         boundary (~0.4 MB/frame vs ~58 MB full-res); pasting happens inside
         the scan. With K-frame chunks this is ONE H2D batch per K frames —
         the production streaming configuration (config #4)."""
-        from dmm_net_tpu.models.dmm import _mask_dtype
+        from dmm_net_tpu.models.dmm import _mask_dtype, mask_hw
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
+        mh, mw = mask_hw(self.cfg)
+        scale = mh / H                       # 1.0 or 0.25 (stride4)
         mdt = _mask_dtype(self.cfg)
         gated = live_from is not None
 
@@ -338,7 +352,8 @@ class InferenceEngine:
             st, t = carry
             frame, boxes, m28, pvalid = xs
             pmask = jax.vmap(
-                lambda m, b, v: paste_masks(m, b, v, (H, W), dtype=mdt))(
+                lambda m, b, v: paste_masks(m, b * scale, v, (mh, mw),
+                                            dtype=mdt))(
                 m28.astype(jnp.float32), boxes, pvalid)
             valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
             out, new_st = self.model.apply(variables, frame, pmask, pvalid,
@@ -350,7 +365,7 @@ class InferenceEngine:
                 live_px = valid_t[..., None, None]
                 new_st = new_st._replace(template_masks=jnp.where(
                     live_px, new_st.template_masks,
-                    tmpl_masks0.astype(new_st.template_masks.dtype)))
+                    _grid_like(tmpl_masks0, new_st.template_masks)))
             return (new_st, t + 1), (labels, out.assignment)
 
         t_start = jnp.asarray(0, jnp.int32) if t0 is None else t0

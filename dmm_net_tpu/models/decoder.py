@@ -87,7 +87,12 @@ class RefinementDecoder(nn.Module):
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
                  state: Optional[jnp.ndarray] = None):
-        B, M, H, W = agg_masks.shape
+        # Output resolution comes from the frame pyramid (c2 = stride 4),
+        # NOT from the mask shape: under mask_res="stride4" the aggregated
+        # masks arrive at (H/4, W/4) while logits must stay full-res.
+        B, M = agg_masks.shape[:2]
+        H, W = feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4
+        mh, mw = agg_masks.shape[2:]
         f = self.features
 
         # Broadcast frame features over objects, fold objects into batch.
@@ -95,7 +100,7 @@ class RefinementDecoder(nn.Module):
             x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
             return x.reshape((B * M,) + x.shape[2:])
 
-        mask_bm = agg_masks.reshape(B * M, H, W, 1).astype(self.dtype)
+        mask_bm = agg_masks.reshape(B * M, mh, mw, 1).astype(self.dtype)
 
         c5 = fold(feats["c5"]).astype(self.dtype)
         h32 = c5.shape[-3:-1]
@@ -161,7 +166,11 @@ class SharedFPNDecoder(nn.Module):
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
                  state: Optional[jnp.ndarray] = None):
-        B, M, H, W = agg_masks.shape
+        # see RefinementDecoder: logits are sized by the pyramid, masks
+        # may arrive at stride-4 residency
+        B, M = agg_masks.shape[:2]
+        H, W = feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4
+        mh, mw = agg_masks.shape[2:]
         f, g = self.features, self.obj_features
         levels = ("c4", "c3", "c2")
         levels = levels[:levels.index(self.fine_level) + 1]
@@ -188,7 +197,7 @@ class SharedFPNDecoder(nn.Module):
             x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
             return x.reshape((B * M,) + x.shape[2:])
 
-        mask_bm = agg_masks.reshape(B * M, H, W, 1).astype(self.dtype)
+        mask_bm = agg_masks.reshape(B * M, mh, mw, 1).astype(self.dtype)
         h32 = proj["c5"].shape[-3:-1]
         m32 = _resize(mask_bm, h32)
         x = nn.relu(conv(g, 3, "obj_head")(

@@ -180,11 +180,16 @@ class DMMNet(nn.Module):
         # Masks travel at mask_dtype (bf16 in inference presets): the
         # full-res (B, N, H, W) proposal tensor dominates this phase's HBM
         # traffic and is only ever *read* here (resized down for pooling
-        # and the cost IoU — both fp32-upcast on the small side).
+        # and the cost IoU — both fp32-upcast on the small side). Under
+        # mask_res="stride4" masks additionally live at (H/4, W/4):
+        # callers that already provide stride-4 masks (the engine's
+        # compact paste) pass through untouched; full-res inputs are
+        # downsampled once here.
         mdt = _mask_dtype(cfg)
-        prop_masks = prop_masks.astype(mdt)
-        state = state._replace(
-            template_masks=state.template_masks.astype(mdt))
+        mhw = mask_hw(cfg)
+        prop_masks = _to_mask_grid(prop_masks.astype(mdt), mhw)
+        state = state._replace(template_masks=_to_mask_grid(
+            state.template_masks.astype(mdt), mhw))
         if cfg.matching.use_pallas:
             # fused Pallas path: pooling + cost + Sinkhorn in ONE kernel
             # (HBM round trip per frame instead of per op)
@@ -226,15 +231,18 @@ class DMMNet(nn.Module):
         Split out of __call__ so the engine's Hungarian decode — a host-side
         one-to-one solve that cannot live under jit — can harden X between
         two jitted halves (SURVEY.md §4.2 inference decode, flagged verify)."""
-        prop_masks = prop_masks.astype(_mask_dtype(self.config))
+        prop_masks = _to_mask_grid(
+            prop_masks.astype(_mask_dtype(self.config)),
+            mask_hw(self.config))
         agg = self.aggregate(X, prop_masks, tmpl_valid)
         logits, dec_state = self.decoder(feats, agg, state.decoder_state)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
         out = FrameOutput(logits=logits, assignment=X, agg_masks=agg)
         if self.config.model.template_update == "aggregation":
-            new_templates = jnp.clip(agg, 0.0, 1.0)
+            new_templates = jnp.clip(agg, 0.0, 1.0)   # already at mask_hw
         else:
-            new_templates = jax.nn.sigmoid(logits)
+            new_templates = _to_mask_grid(jax.nn.sigmoid(logits),
+                                          mask_hw(self.config))
         new_state = FrameState(
             template_masks=new_templates.astype(_mask_dtype(self.config)),
             decoder_state=dec_state)
@@ -252,6 +260,23 @@ def _mask_dtype(cfg: Config):
             else jnp.float32)
 
 
+def mask_hw(cfg: Config) -> Tuple[int, int]:
+    """The (h, w) grid masks live on inside the frame step (see
+    ModelConfig.mask_res)."""
+    H, W = cfg.model.image_size
+    if cfg.model.mask_res == "stride4":
+        return (H // 4, W // 4)
+    return (H, W)
+
+
+def _to_mask_grid(m: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize trailing (h, w) of a mask stack to the config's mask grid
+    (no-op when already there)."""
+    if m.shape[-2:] == hw:
+        return m
+    return jax.image.resize(m, m.shape[:-2] + hw, method="bilinear")
+
+
 def decoder_state_dim(cfg: Config) -> int:
     """Channel width of the carried ConvGRU state (variant-dependent)."""
     if cfg.model.decoder_variant == "shared":
@@ -260,10 +285,12 @@ def decoder_state_dim(cfg: Config) -> int:
 
 
 def init_frame_state(cfg: Config, tmpl_masks: jnp.ndarray) -> FrameState:
-    """Initial FrameState from frame-1 templates — the single source of
-    truth for the carried-state shape (callers must not hardcode it)."""
-    B, M, H, W = tmpl_masks.shape
+    """Initial FrameState from frame-1 templates (any resolution; stored
+    at the config's mask grid) — the single source of truth for the
+    carried-state shape (callers must not hardcode it)."""
+    B, M = tmpl_masks.shape[:2]
+    H, W = cfg.model.image_size
     h32, w32 = H // 32, W // 32
     dec = jnp.zeros((B, M, h32, w32, decoder_state_dim(cfg)), jnp.float32)
-    return FrameState(template_masks=tmpl_masks.astype(_mask_dtype(cfg)),
-                      decoder_state=dec)
+    tm = _to_mask_grid(tmpl_masks.astype(_mask_dtype(cfg)), mask_hw(cfg))
+    return FrameState(template_masks=tm, decoder_state=dec)

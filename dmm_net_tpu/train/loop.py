@@ -116,9 +116,10 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
             # pre-live slots keep their GT template mask (the aggregation/
             # decoder feedback would wipe it before the object appears)
             live_px = valid_t[..., None, None]
+            from dmm_net_tpu.infer.engine import _grid_like
             new_st = new_st._replace(template_masks=jnp.where(
                 live_px, new_st.template_masks,
-                tmpl_masks.astype(new_st.template_masks.dtype)))
+                _grid_like(tmpl_masks, new_st.template_masks)))
         return (new_st, tfeats), out.logits
 
     if cfg.train.remat:
