@@ -83,6 +83,43 @@ def test_bf16_carry_dtype_stable():
     assert float(jnp.abs(out3.agg_masks[:, -1]).max()) == 0.0
 
 
+def test_stride4_residency_close_to_full():
+    """mask_res=stride4: logits stay full-res, agg/templates live at H/4,
+    and outputs agree with the full-res path to boundary tolerance
+    (aggregation is linear, so stride-4 aggregation == resized full-res
+    aggregation up to resize-of-resize blur in the cost masks)."""
+    from dmm_net_tpu.models.dmm import mask_hw
+
+    cfg_f = _cfg("float32")
+    cfg_s = cfg_f.override(**{"model.mask_res": "stride4"})
+    frame, pm, pv, tf_, tv, tm = _inputs(cfg_f)
+    H, W = cfg_f.model.image_size
+    model_f, model_s = DMMNet(cfg_f), DMMNet(cfg_s)
+    vs = model_f.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
+                      init_frame_state(cfg_f, tm))
+    out_f, st_f = model_f.apply(vs, frame, pm, pv, tf_, tv,
+                                init_frame_state(cfg_f, tm))
+    st0 = init_frame_state(cfg_s, tm)
+    assert st0.template_masks.shape[-2:] == (H // 4, W // 4)
+    out_s, st_s = model_s.apply(vs, frame, pm, pv, tf_, tv, st0)
+    assert out_s.logits.shape == out_f.logits.shape          # full-res
+    assert out_s.agg_masks.shape[-2:] == mask_hw(cfg_s)      # stride-4
+    assert st_s.template_masks.shape[-2:] == mask_hw(cfg_s)
+    # assignments from slightly blurrier cost masks: close, not exact
+    assert np.max(np.abs(np.asarray(out_f.assignment)
+                         - np.asarray(out_s.assignment))) < 0.1
+    # stride-4 agg == full-res agg downsampled (linearity), up to the
+    # assignment difference above
+    agg_f_s4 = jax.image.resize(out_f.agg_masks,
+                                out_f.agg_masks.shape[:2] + mask_hw(cfg_s),
+                                method="bilinear")
+    assert np.percentile(np.abs(np.asarray(agg_f_s4)
+                                - np.asarray(out_s.agg_masks)), 99) < 0.1
+    # (label-level agreement is only meaningful with trained weights —
+    # untrained logits are near-zero noise and argmax flips everywhere;
+    # the trained-weights A/B measured J&F 0.8240 stride4 vs 0.8245 full)
+
+
 def test_paste_masks_dtype():
     from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
     rng = np.random.RandomState(0)
