@@ -30,7 +30,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
     base = preset("p3_multi_object")
     if args.pallas:
@@ -51,10 +51,11 @@ def main():
         pv = jnp.ones((B, N), bool)
         tf_ = jnp.asarray(rng.randn(B, M, base.model.feature_dim), jnp.float32)
         tv = jnp.ones((B, M), bool)
-        st = FrameState(
-            template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32),
-            decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                     decoder_state_dim(base))))
+        # init_frame_state owns the carried grid/dtype (mask_res /
+        # mask_dtype): a hand-built full-res f32 state would differ from
+        # the state the step returns and recompile inside the timed loop
+        st = init_frame_state(
+            base, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), frame, pm, pv,
                                    tf_, tv, st)

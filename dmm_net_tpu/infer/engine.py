@@ -193,7 +193,8 @@ class InferenceEngine:
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
         mh, mw = mask_hw(self.cfg)
-        scale = mh / H                       # 1.0 or 0.25 (stride4)
+        # per-axis (x, y) scale: mh/H == mw/W only for div-4 sizes
+        scale = jnp.asarray([mw / W, mh / H, mw / W, mh / H], jnp.float32)
         mdt = _mask_dtype(self.cfg)
         pm = jax.vmap(
             lambda m, b, v: paste_masks(m, b * scale, v, (mh, mw), dtype=mdt))(
@@ -226,7 +227,17 @@ class InferenceEngine:
         soft X on device -> scipy Hungarian on host -> one-hot X back to
         the jitted decode half. Two dispatches/frame — ablation path, not
         the throughput path."""
+        from dmm_net_tpu.models.dmm import _mask_dtype, _to_mask_grid, \
+            mask_hw
         from dmm_net_tpu.ops.matching import hard_assignment_hungarian
+        # convert the full-res proposal tensor to the mask grid ONCE: the
+        # two jitted halves each convert internally, and XLA cannot CSE
+        # across dispatches — without this the dominant HBM read of the
+        # step is paid twice per frame
+        if not hasattr(self, "_prep_jit"):
+            self._prep_jit = jax.jit(lambda pm: _to_mask_grid(
+                pm.astype(_mask_dtype(self.cfg)), mask_hw(self.cfg)))
+        prop_masks = self._prep_jit(prop_masks)
         feats, X = self._match_jit(variables, frame, prop_masks, prop_valid,
                                    tmpl_feats, tmpl_valid, state)
         Xn = np.asarray(X)
@@ -344,7 +355,8 @@ class InferenceEngine:
         from dmm_net_tpu.models.proposal.maskrcnn import paste_masks
         H, W = self.cfg.model.image_size
         mh, mw = mask_hw(self.cfg)
-        scale = mh / H                       # 1.0 or 0.25 (stride4)
+        # per-axis (x, y) scale: mh/H == mw/W only for div-4 sizes
+        scale = jnp.asarray([mw / W, mh / H, mw / W, mh / H], jnp.float32)
         mdt = _mask_dtype(self.cfg)
         gated = live_from is not None
 

@@ -86,12 +86,14 @@ class RefinementDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
-                 state: Optional[jnp.ndarray] = None):
-        # Output resolution comes from the frame pyramid (c2 = stride 4),
-        # NOT from the mask shape: under mask_res="stride4" the aggregated
-        # masks arrive at (H/4, W/4) while logits must stay full-res.
+                 state: Optional[jnp.ndarray] = None,
+                 out_hw: Optional[Tuple[int, int]] = None):
+        # Output resolution: under mask_res="stride4" the aggregated masks
+        # arrive at (H/4, W/4) while logits must stay full-res, so the
+        # caller passes the true image size (c2*4 is only exact for
+        # div-4 sizes; c2 is ceil-sized otherwise).
         B, M = agg_masks.shape[:2]
-        H, W = feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4
+        H, W = out_hw or (feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4)
         mh, mw = agg_masks.shape[2:]
         f = self.features
 
@@ -165,11 +167,12 @@ class SharedFPNDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
-                 state: Optional[jnp.ndarray] = None):
-        # see RefinementDecoder: logits are sized by the pyramid, masks
-        # may arrive at stride-4 residency
+                 state: Optional[jnp.ndarray] = None,
+                 out_hw: Optional[Tuple[int, int]] = None):
+        # see RefinementDecoder: masks may arrive at stride-4 residency;
+        # the caller passes the true output size
         B, M = agg_masks.shape[:2]
-        H, W = feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4
+        H, W = out_hw or (feats["c2"].shape[-3] * 4, feats["c2"].shape[-2] * 4)
         mh, mw = agg_masks.shape[2:]
         f, g = self.features, self.obj_features
         levels = ("c4", "c3", "c2")

@@ -235,7 +235,8 @@ class DMMNet(nn.Module):
             prop_masks.astype(_mask_dtype(self.config)),
             mask_hw(self.config))
         agg = self.aggregate(X, prop_masks, tmpl_valid)
-        logits, dec_state = self.decoder(feats, agg, state.decoder_state)
+        logits, dec_state = self.decoder(feats, agg, state.decoder_state,
+                                         out_hw=self.config.model.image_size)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
         out = FrameOutput(logits=logits, assignment=X, agg_masks=agg)
         if self.config.model.template_update == "aggregation":

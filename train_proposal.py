@@ -104,13 +104,17 @@ def main():
     model = MaskRCNN(image_size=(H, W), backbone_name=args.backbone,
                      num_classes=args.num_classes, pre_nms_top_n=64,
                      post_nms_top_n=32, max_detections=16)
-    img0, *_ = sample(0)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img0))
     if args.init:
+        # restored variables fully define the tree — skip flax init (it
+        # eagerly runs the whole un-jitted detection forward just to
+        # produce shapes we'd immediately discard)
         from flax import serialization
         with open(args.init, "rb") as f:
             variables = serialization.msgpack_restore(f.read())
         log.info("initialized from %s", args.init)
+    else:
+        img0, *_ = sample(0)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img0))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adamw(args.lr, weight_decay=1e-5)
