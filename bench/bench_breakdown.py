@@ -1,25 +1,24 @@
 #!/usr/bin/env python3
-"""Per-stage timing of the frame step at the bench config (B=4):
-backbone, pool+cost+match, aggregation, decoder, overlap-argmax.
-Each stage is jitted separately (upper bound: fusion across stages is lost),
-so treat as relative weight, not exact latency."""
+"""Per-stage cost of the frame step via cumulative-prefix deltas.
+
+Old approach (jit each stage separately) double-counts dispatch latency
+and loses cross-stage fusion; relay dispatch overhead also swings 0.5-9 ms
+between sessions (ROUND_NOTES r2), drowning sub-ms stages. Instead each
+measurement jits a PREFIX of the pipeline (backbone; +match; +aggregate;
++decoder; +resolve = full), all inside one dispatch, and reports deltas —
+true fused incremental cost per stage. XLA cost-analysis FLOPs and bytes
+deltas are printed alongside (effective GB/s per stage exposes which
+stages sit on the HBM roofline).
+
+The DCE guard: every prefix returns reductions of all live outputs, so
+the compiler cannot drop earlier stages.
+"""
 
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def timeit(fn, *args, iters=30):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -32,9 +31,10 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     cfg = preset("p3_multi_object")
     H, W = cfg.model.image_size
     M, N = cfg.matching.max_templates, cfg.matching.max_proposals
@@ -45,49 +45,59 @@ def main():
     pv = jnp.ones((B, N), bool)
     tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
     tv = jnp.ones((B, M), bool)
-    st = FrameState(
-        template_masks=jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32),
-        decoder_state=jnp.zeros((B, M, H // 32, W // 32,
-                                 decoder_state_dim(cfg))))
-    variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv, st)
+    state = init_frame_state(
+        cfg, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
+                           state)
 
-    extract = jax.jit(lambda f: model.apply(variables, f,
-                                            method=DMMNet.extract_features))
-    feats = extract(frame)
+    def backbone(frame, pm, pv, tf_, tv, state):
+        feats = model.apply(variables, frame, method=DMMNet.extract_features)
+        return [v.sum() for v in feats.values()]
 
-    pool = jax.jit(lambda fe, m: model.apply(variables, fe, m,
-                                             method=DMMNet.pool_mask_features))
-    pf = pool(feats, pm)
+    def match(frame, pm, pv, tf_, tv, state):
+        feats, X = model.apply(variables, frame, pm, pv, tf_, tv, state,
+                               method=DMMNet.match_assignment)
+        return [v.sum() for v in feats.values()] + [X.sum()]
 
-    match = jax.jit(lambda tm, p, tfeat, pfeat: model.apply(
-        variables, tm, p, tfeat, pfeat, tv, pv, method=DMMNet.match_step))
-    X = match(st.template_masks, pm, tf_, pf)
+    def agg(frame, pm, pv, tf_, tv, state):
+        feats, X = model.apply(variables, frame, pm, pv, tf_, tv, state,
+                               method=DMMNet.match_assignment)
+        A = DMMNet.aggregate(X, pm.astype(state.template_masks.dtype), tv)
+        return [v.sum() for v in feats.values()] + [X.sum(), A.sum()]
 
-    agg = jax.jit(lambda x, p: DMMNet.aggregate(x, p, tv))
-    A = agg(X, pm)
+    def decoder(frame, pm, pv, tf_, tv, state):
+        out, st = model.apply(variables, frame, pm, pv, tf_, tv, state)
+        return out.logits.sum(), st
 
-    dec = jax.jit(lambda fe, a, s: model.apply(
-        variables, fe, a, s, method=lambda m, *args: m.decoder(*args)))
-    logits, _ = dec(feats, A, st.decoder_state)
+    def full(frame, pm, pv, tf_, tv, state):
+        out, st = model.apply(variables, frame, pm, pv, tf_, tv, state)
+        return resolve_overlaps(out.logits, tv), st
 
-    res = jax.jit(lambda lg: resolve_overlaps(lg, tv))
-
-    full = jax.jit(lambda f, p, v, t, tvv, s: model.apply(
-        variables, f, p, v, t, tvv, s))
-
-    stages = {
-        "backbone+proj": (extract, (frame,)),
-        "mask pooling": (pool, (feats, pm)),
-        "cost+match": (match, (st.template_masks, pm, tf_, pf)),
-        "aggregation": (agg, (X, pm)),
-        "decoder": (dec, (feats, A, st.decoder_state)),
-        "argmax": (res, (logits,)),
-        "FULL step": (full, (frame, pm, pv, tf_, tv, st)),
-    }
-    print(f"B={B} image={H}x{W} M={M} N={N} backend={jax.default_backend()}")
-    for name, (fn, args) in stages.items():
-        t = timeit(fn, *args)
-        print(f"{name:16s} {t * 1e3:8.3f} ms")
+    args = (frame, pm, pv, tf_, tv, state)
+    print(f"B={B} image={H}x{W} M={M} N={N} mask_res={cfg.model.mask_res} "
+          f"backend={jax.default_backend()}")
+    prev = (0.0, 0.0, 0.0)
+    for name, fn in [("backbone+proj", backbone), ("(+)pool/cost/match", match),
+                     ("(+)aggregate", agg), ("(+)decoder", decoder),
+                     ("(+)resolve = FULL", full)]:
+        jfn = jax.jit(fn)
+        out = jfn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        c = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        fl = float(c.get("flops", 0)) / 1e9
+        by = float(c.get("bytes accessed", 0)) / 1e6
+        d_dt, d_fl, d_by = dt - prev[0], fl - prev[1], by - prev[2]
+        print(f"{name:20s} {dt:8.3f} ms  (delta {d_dt:7.3f} ms, "
+              f"{d_fl:7.2f} GF, {d_by:8.1f} MB, "
+              f"{d_by / max(d_dt, 1e-9):6.0f} GB/s eff)")
+        prev = (dt, fl, by)
 
 
 if __name__ == "__main__":

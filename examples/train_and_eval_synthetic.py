@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--save", default=None,
                     help="write the trained DMM variables as flax msgpack "
                     "(consumed by examples/full_system_synthetic.py)")
+    ap.add_argument("--mrcnn", default=None,
+                    help="train on DETECTOR proposals: replace the planted "
+                    "(jittered-GT) proposals of every training batch with "
+                    "detections from this Mask R-CNN msgpack — the "
+                    "reference's actual training protocol (it trains on "
+                    "cached Mask R-CNN proposals, SURVEY.md §1.1/§4.3)")
+    ap.add_argument("--mrcnn-backbone", default="resnet18")
+    ap.add_argument("--mrcnn-classes", type=int, default=4)
     ap.add_argument("--ablate", action="store_true",
                     help="after training, score the SAME weights under "
                     "decode soft/argmax/hungarian and both template-update "
@@ -81,6 +89,45 @@ def main():
             pad_objects=cfg.matching.max_templates).items()}
 
     batches = [make_batch(s) for s in range(args.distinct_batches)]
+
+    detect = None
+    if args.mrcnn:
+        # Reference protocol: the DMM trains against the proposal
+        # distribution it will see at inference (cached detector output),
+        # not an idealized jittered-GT set. Precompute detections for the
+        # training pool once (offline-proposal analog).
+        from flax import serialization
+        from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN, paste_masks
+        N = cfg.matching.max_proposals
+        det = MaskRCNN(image_size=(S, S), backbone_name=args.mrcnn_backbone,
+                       num_classes=args.mrcnn_classes, score_thresh=0.05,
+                       max_detections=N)
+        with open(args.mrcnn, "rb") as f:
+            det_vars = serialization.msgpack_restore(f.read())
+
+        @jax.jit
+        def detect(img):
+            out = det.apply(det_vars, img)
+            full = paste_masks(out["masks"], out["boxes"], out["valid"],
+                               (S, S))
+            return full, out["scores"], out["valid"]
+
+        t_det = time.time()
+        for b in batches:
+            B_, T_ = b["frames"].shape[:2]
+            pm = np.zeros((B_, T_, N, S, S), np.float32)
+            pv = np.zeros((B_, T_, N), bool)
+            for bi in range(B_):
+                for ti in range(T_):
+                    full, scores, valid = jax.device_get(
+                        detect(b["frames"][bi, ti][None]))
+                    order = np.argsort(-np.where(valid, scores, -np.inf))
+                    pm[bi, ti] = (full[order] > 0.5).astype(np.float32)
+                    pv[bi, ti] = valid[order]
+            b["prop_masks"] = jnp.asarray(pm)
+            b["prop_valid"] = jnp.asarray(pv)
+        print(f"replaced planted proposals with detector output for "
+              f"{len(batches)} batches in {time.time() - t_det:.0f}s")
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed), batches[0])
     step = make_train_step(cfg)
     t0 = time.time()
