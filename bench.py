@@ -117,13 +117,13 @@ def main():
 
         lowered = step.lower(frame, pm, pv, tf_, tv, state)
         labels, st = step(frame, pm, pv, tf_, tv, state)
-        jax.block_until_ready(labels)
+        np.asarray(labels[0, ::64, ::64])      # D2H completion barrier
         n_iters = max(iters, 30)
         t0 = time.perf_counter()
         for _ in range(n_iters):
             labels, st = step(frame, pm, pv, tf_, tv, state)
-        jax.block_until_ready((labels, st))
-        dt = time.perf_counter() - t0
+        np.asarray(labels[0, ::64, ::64])      # D2H: block_until_ready can
+        dt = time.perf_counter() - t0          # return early on the tunnel
         frames_done = n_iters * B
     else:
         # production chunked dispatch: K-frame scan, compact proposals
@@ -149,14 +149,14 @@ def main():
                                    tf_, tv, state)
         labels, X, st = chunk_step(variables, frames_u8, boxes, m28, pvk,
                                    tf_, tv, state)
-        jax.block_until_ready(labels)
+        np.asarray(labels[-1, 0, ::64, ::64])  # D2H completion barrier
         t0 = time.perf_counter()
         st_t = state
         for _ in range(iters):
             labels, X, st_t = chunk_step(variables, frames_u8, boxes, m28,
                                          pvk, tf_, tv, st_t)
-        jax.block_until_ready((labels, st_t))
-        dt = time.perf_counter() - t0
+        np.asarray(labels[-1, 0, ::64, ::64])  # D2H: block_until_ready can
+        dt = time.perf_counter() - t0          # return early on the tunnel
         frames_done = iters * K * B
 
     fps = frames_done / dt

@@ -81,12 +81,19 @@ def main():
                      ("(+)aggregate", agg), ("(+)decoder", decoder),
                      ("(+)resolve = FULL", full)]:
         jfn = jax.jit(fn)
+
+        def sync(o):
+            # D2H of one small leaf: the only reliable completion barrier
+            # on the tunnel backend (block_until_ready can return early —
+            # ROUND_NOTES r2 / memory "axon-tpu-tunnel-caveats")
+            return np.asarray(jax.tree_util.tree_leaves(o)[0])
+
         out = jfn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = jfn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         c = jfn.lower(*args).compile().cost_analysis()
         if isinstance(c, list):

@@ -67,11 +67,15 @@ def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
     space, matching the reference's p>0.5-then-argmax semantics."""
     bg_logit = jnp.log(bg_threshold / (1 - bg_threshold))
     masked = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
-    B, M, H, W = masked.shape
-    bg = jnp.full((B, 1, H, W), bg_logit, masked.dtype)
-    stacked = jnp.concatenate([bg, masked], axis=1)
+    # No materialized (B, M+1, H, W) concat: argmax+max over the object
+    # axis fuse into one reduction pass, then the background competes as
+    # a scalar compare. Tie semantics match the old concat-argmax form:
+    # argmax breaks object ties toward the lower index, and best==bg
+    # resolves to background (bg was index 0, the argmax winner on ties).
+    idx = jnp.argmax(masked, axis=1)
+    best = jnp.max(masked, axis=1)
     # uint8: labels fit (M <= 255) and the D2H label stream shrinks 4x
-    return jnp.argmax(stacked, axis=1).astype(jnp.uint8)
+    return jnp.where(best > bg_logit, idx + 1, 0).astype(jnp.uint8)
 
 
 _BUCKETS = (1, 2, 4, 8, 16, 32)

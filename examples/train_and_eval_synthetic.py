@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--size", type=int, default=64, help="image height")
+    ap.add_argument("--width", type=int, default=0,
+                    help="image width (0 = square --size x --size)")
     ap.add_argument("--eval-frames", type=int, default=6)
     ap.add_argument("--decoder-variant", default="shared",
                     choices=["shared", "legacy"])
@@ -65,6 +67,7 @@ def main():
     from dmm_net_tpu.train.loop import create_train_state, make_train_step
 
     S = args.size
+    SW = args.width or S
     cfg = Config(
         name="train_and_eval",
         model=ModelConfig(backbone=args.backbone, backbone_dtype="float32",
@@ -72,7 +75,7 @@ def main():
                           decoder_dim=args.decoder_dim,
                           decoder_variant=args.decoder_variant,
                           decoder_obj_dim=args.obj_dim,
-                          image_size=(S, S), template_update="aggregation"),
+                          image_size=(S, SW), template_update="aggregation"),
         matching=MatchingConfig(max_templates=4, max_proposals=8,
                                 sinkhorn_iters=15, epsilon=0.03),
         data=DataConfig(dataset="synthetic", batch_size=4, clip_length=3),
@@ -84,7 +87,7 @@ def main():
     def make_batch(seed):
         return {k: jnp.asarray(v) for k, v in synthetic_clip_batch(
             seed=seed, batch=cfg.data.batch_size, T=cfg.data.clip_length,
-            H=S, W=S, num_objects=2,
+            H=S, W=SW, num_objects=2,
             num_proposals=cfg.matching.max_proposals,
             pad_objects=cfg.matching.max_templates).items()}
 
@@ -99,7 +102,7 @@ def main():
         from flax import serialization
         from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN, paste_masks
         N = cfg.matching.max_proposals
-        det = MaskRCNN(image_size=(S, S), backbone_name=args.mrcnn_backbone,
+        det = MaskRCNN(image_size=(S, SW), backbone_name=args.mrcnn_backbone,
                        num_classes=args.mrcnn_classes, score_thresh=0.05,
                        max_detections=N)
         with open(args.mrcnn, "rb") as f:
@@ -109,13 +112,13 @@ def main():
         def detect(img):
             out = det.apply(det_vars, img)
             full = paste_masks(out["masks"], out["boxes"], out["valid"],
-                               (S, S))
+                               (S, SW))
             return full, out["scores"], out["valid"]
 
         t_det = time.time()
         for b in batches:
             B_, T_ = b["frames"].shape[:2]
-            pm = np.zeros((B_, T_, N, S, S), np.float32)
+            pm = np.zeros((B_, T_, N, S, SW), np.float32)
             pv = np.zeros((B_, T_, N), bool)
             for bi in range(B_):
                 for ti in range(T_):
@@ -154,7 +157,7 @@ def main():
     model = DMMNet(cfg)
     engine = InferenceEngine(cfg, model=model, variables=variables,
                              update_templates=True)
-    seq = synthetic_sequence(seed=999, T=args.eval_frames, H=S, W=S,
+    seq = synthetic_sequence(seed=999, T=args.eval_frames, H=S, W=SW,
                              num_objects=2,
                              num_proposals=cfg.matching.max_proposals)
     M = cfg.matching.max_templates
