@@ -129,7 +129,7 @@ class YTVOSDataset:
                 img = self.load_frame(fp)
                 gt = (self.load_annotation(anns[stems[t]])
                       if stems[t] in anns else None)
-                pm, pv = self._proposals(vid, t, gt)
+                pm, pv = self._proposals(vid, stems[t], gt)
                 yield {"frame": img[None], "prop_masks": pm[None],
                        "prop_valid": pv[None]}
 
@@ -142,13 +142,17 @@ class YTVOSDataset:
                 "annotated_stems": sorted(anns),
                 "num_frames": len(frames)}
 
-    def _proposals(self, vid: str, t: int, gt_labels):
+    def _proposals(self, vid: str, stem: str, gt_labels):
+        """Cached proposals for the RAW frame named `stem` (the cache key
+        tools/extract_proposals.py writes). YT-VOS raw-frame stems and
+        annotated-timeline indices diverge (every ~5th frame annotated),
+        so all lookups go by stem — never by a loop index."""
         N = self.max_proposals
         H, W = self.image_size
         masks = np.zeros((N, H, W), np.float32)
         valid = np.zeros((N,), bool)
         if self.proposal_dir is not None:
-            pf = os.path.join(self.proposal_dir, vid, f"{t:05d}.json")
+            pf = os.path.join(self.proposal_dir, vid, f"{stem}.json")
             if os.path.exists(pf):
                 from dmm_net_tpu.ops import rle as rle_codec
                 with open(pf) as f:
@@ -162,7 +166,7 @@ class YTVOSDataset:
                 return masks, valid
         if gt_labels is not None:
             rng = np.random.RandomState(
-                (zlib.crc32(vid.encode()) + t) % (2 ** 31))
+                zlib.crc32(f"{vid}/{stem}".encode()) % (2 ** 31))
             i = 0
             for oid in sorted(set(np.unique(gt_labels)) - {0}):
                 if i >= N:
@@ -224,7 +228,7 @@ class YTVOSDataset:
                 for t, stem in enumerate(ts):
                     frames.append(self.load_frame(frame_by_stem[stem]))
                     gts.append(self.load_annotation(anns[stem]))
-                    pm, pv = self._proposals(vid, t0 + t, gts[-1])
+                    pm, pv = self._proposals(vid, stem, gts[-1])
                     pms.append(pm)
                     pvs.append(pv)
 

@@ -90,7 +90,11 @@ def main():
     from dmm_net_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     for seq in seqs:
         os.makedirs(os.path.join(args.out, seq), exist_ok=True)
-        for t, fp in enumerate(frame_lists[seq]):
+        for fp in frame_lists[seq]:
+            # cache key = raw frame STEM: on DAVIS stems equal the raw
+            # index; on YT-VOS they diverge (frames every ~5th), and all
+            # readers (sequence_stream, clip_batches) resolve by stem
+            stem = os.path.splitext(os.path.basename(fp))[0]
             img = load(fp).astype(np.float32) / 255.0
             img = (img - IMAGENET_MEAN) / IMAGENET_STD
             boxes, scores, valid, masks = (
@@ -106,7 +110,7 @@ def main():
                     "rle": {"size": [int(x) for x in rle["size"]],
                             "counts": rle["counts"].decode("latin1")},
                 })
-            with open(os.path.join(args.out, seq, f"{t:05d}.json"), "w") as f:
+            with open(os.path.join(args.out, seq, f"{stem}.json"), "w") as f:
                 json.dump(props, f)
         log.info("%s: %d frames", seq, len(frame_lists[seq]))
 
