@@ -144,7 +144,10 @@ class MaskRCNN(nn.Module):
         self._slices = level_slices(self.image_size)
 
     def __call__(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """image (1, H, W, 3) normalized. Returns dict:
+        """image (1, H, W, 3) float RGB in the distribution the weights
+        were trained on — the in-repo trainers feed raw [0,1]; apply
+        ImageNet normalization externally only for torch/COCO-lineage
+        weights (tools/extract_proposals.py --input-norm). Returns dict:
         boxes (D, 4), scores (D,), classes (D,), masks (D, 28, 28),
         valid (D,) with D = max_detections."""
         feats = self.backbone(image)

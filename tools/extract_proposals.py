@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--max-detections", type=int, default=64)
     ap.add_argument("--score-thresh", type=float, default=0.05)
     ap.add_argument("--sequences", nargs="*", default=None)
+    ap.add_argument("--input-norm", choices=["raw01", "imagenet"],
+                    default="raw01",
+                    help="input distribution the WEIGHTS were trained on. "
+                    "Every in-repo trainer (train_proposal.py, the --mrcnn "
+                    "fine-tune path) feeds raw [0,1] RGB, so raw01 is the "
+                    "default; torch/COCO-imported weights expect "
+                    "ImageNet-normalized inputs -> pass imagenet. Feeding "
+                    "the wrong distribution silently wrecks detections "
+                    "(caught by tests/test_dayone_cli.py)")
     args = ap.parse_args()
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
@@ -96,7 +105,8 @@ def main():
             # readers (sequence_stream, clip_batches) resolve by stem
             stem = os.path.splitext(os.path.basename(fp))[0]
             img = load(fp).astype(np.float32) / 255.0
-            img = (img - IMAGENET_MEAN) / IMAGENET_STD
+            if args.input_norm == "imagenet":
+                img = (img - IMAGENET_MEAN) / IMAGENET_STD
             boxes, scores, valid, masks = (
                 np.asarray(x) for x in infer(jnp.asarray(img[None])))
             props = []
