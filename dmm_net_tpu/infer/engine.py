@@ -127,13 +127,16 @@ class InferenceEngine:
         return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
 
     def _replicated_variables(self):
-        """Model variables replicated across the mesh (cached)."""
+        """Model variables replicated across the mesh (cached; keyed on the
+        variables object so reassigning engine.variables — e.g. loading new
+        weights — invalidates the cache instead of serving stale params)."""
         if self.mesh is None:
             return self.variables
-        if not hasattr(self, "_vars_replicated"):
+        if getattr(self, "_vars_replicated_key", None) != id(self.variables):
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             self._vars_replicated = jax.device_put(self.variables, rep)
+            self._vars_replicated_key = id(self.variables)
         return self._vars_replicated
 
     def _bucket_slice(self, tmpl_masks, tmpl_valid, extras=()):
@@ -455,28 +458,45 @@ class InferenceEngine:
         YT-VOS mid-video objects: pass `live_from` (B, M) first-frame
         indices and `tmpl_frames` (B, M, H, W, 3) per-object template
         frames; template features are pooled from each object's own frame
-        and slots stay inactive before their first frame."""
+        and slots stay inactive before their first frame.
+
+        With a mesh, the sequence-batch axis B is sharded on "data" and
+        variables are replicated: sequences stay chip-local (frames of one
+        video are serially dependent — SURVEY.md §3.3 SP row), so the
+        compiled step contains NO collectives and throughput scales
+        linearly with chips (asserted in tests/test_parallel.py)."""
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(self._chunk_step,
                                       static_argnames=())
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            if tmpl_valid.shape[0] % n_data:
+                raise ValueError(
+                    f"sequence batch {tmpl_valid.shape[0]} not divisible "
+                    f"by mesh data axis {n_data}")
+        variables = self._replicated_variables()
         M_full = tmpl_valid.shape[1]
         _, tmpl_masks, tmpl_valid, (live_from, tmpl_frames) = \
             self._bucket_slice(np.asarray(tmpl_masks), np.asarray(tmpl_valid),
                                extras=(live_from, tmpl_frames))
-        tmpl_masks = jnp.asarray(tmpl_masks)
-        tmpl_valid = jnp.asarray(tmpl_valid)
+        tmpl_masks = self._seq_sharded(tmpl_masks)
+        tmpl_valid = self._seq_sharded(tmpl_valid)
         if tmpl_frames is not None:
             if not hasattr(self, "_init_feats_per_obj"):
                 self._init_feats_per_obj = jax.jit(
                     self._template_features_per_object)
             tmpl_feats = self._init_feats_per_obj(
-                self.variables, jnp.asarray(tmpl_frames), tmpl_masks)
+                variables, self._seq_sharded(tmpl_frames), tmpl_masks)
         else:
-            tmpl_feats = self._init_feats(self.variables,
-                                          jnp.asarray(first_frame), tmpl_masks)
-        state = self.model.apply(self.variables, tmpl_masks,
+            tmpl_feats = self._init_feats(variables,
+                                          self._seq_sharded(first_frame),
+                                          tmpl_masks)
+        state = self.model.apply(variables, tmpl_masks,
                                  method=DMMNet.init_state)
-        live = None if live_from is None else jnp.asarray(live_from, jnp.int32)
+        if self.mesh is not None:
+            state = jax.tree_util.tree_map(self._seq_sharded, state)
+        live = (None if live_from is None
+                else self._seq_sharded(np.asarray(live_from, np.int32)))
         labels_out, assign_out = [], []
         buf: list = []
         t_seen = 0
@@ -494,7 +514,7 @@ class InferenceEngine:
                 if k < chunk:   # pad last chunk with edge frames
                     xs = np.pad(xs, [(0, chunk - k)] + [(0, 0)] * (xs.ndim - 1),
                                 mode="edge")
-                return jnp.asarray(xs)
+                return self._seq_sharded(xs, time_leading=True)
 
             if "prop_boxes" in buf[0]:
                 if compact_jit is None:
@@ -503,14 +523,14 @@ class InferenceEngine:
                             self._chunk_step_compact)
                     compact_jit = self._chunk_compact_jit
                 labels, X, state = compact_jit(
-                    self.variables, stack("frame"), stack("prop_boxes"),
+                    variables, stack("frame"), stack("prop_boxes"),
                     stack("prop_masks28"), stack("prop_valid"),
                     tmpl_feats, tmpl_valid, state,
                     jnp.asarray(t_seen, jnp.int32), live,
                     tmpl_masks if live is not None else None)
             else:
                 labels, X, state = self._chunk_jit(
-                    self.variables, stack("frame"), stack("prop_masks"),
+                    variables, stack("frame"), stack("prop_masks"),
                     stack("prop_valid"), tmpl_feats, tmpl_valid, state,
                     jnp.asarray(t_seen, jnp.int32), live,
                     tmpl_masks if live is not None else None)

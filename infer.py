@@ -3,14 +3,28 @@
 
 Usage:
   python infer.py --preset p3_multi_object --davis-root /data/DAVIS \
-                  [--ckpt runs/x/ckpt] [--out results/p3] [--sequences bike-packing]
+                  [--ckpt runs/dmm448/dmm.msgpack] [--out results/p3]
   python infer.py --preset p4_ytvos_stream --dataset ytvos \
                   --ytvos-root /data/YouTubeVOS --out results/p4
 
-DAVIS: per-sequence streaming inference, palette PNGs + results JSON with
-J, F, J&F per sequence and overall (the driver metric, BASELINE.json:2).
-YT-VOS: chunked-scan streaming inference (config #4), writes the official
-submission tree (Annotations/<vid>/<stem>.png at original resolution).
+Both datasets run the PRODUCTION chunked-scan dispatch by default — the
+same jitted function bench.py measures (one K-frame lax.scan per device
+dispatch; BASELINE.json:2's fps is produced by this exact code path).
+`--per-frame` restores the one-dispatch-per-frame loop (required for the
+Hungarian decode ablation). `--data-parallel` shards a batch of sequences
+over all visible chips (sequences chip-local; no collectives).
+
+DAVIS: palette PNGs + results JSON with J, F, J&F per sequence and overall
+(the driver metric, BASELINE.json:2), scored at the annotation's native
+resolution. YT-VOS: the official submission tree
+(Annotations/<vid>/<stem>.png at original resolution).
+
+--ckpt accepts either an orbax checkpoint directory (train.py output) or
+a flax msgpack blob {"config", "variables"} (what
+examples/train_and_eval_synthetic.py --save / full_system_synthetic.py
+write — including the shipped flagship runs/dmm448/dmm.msgpack). A msgpack
+blob carries its own model config, which becomes the base config (CLI
+--set overrides still apply on top).
 """
 
 import argparse
@@ -22,6 +36,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_msgpack_ckpt(path):
+    """Load a flax msgpack blob {"config": ..., "variables": ...}."""
+    from flax import serialization
+    from dmm_net_tpu.config import config_from_dict
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    if not isinstance(blob, dict) or "variables" not in blob:
+        raise SystemExit(f"{path}: not a DMM msgpack checkpoint "
+                         "(expected {'config', 'variables'})")
+    cfg = config_from_dict(blob["config"]) if "config" in blob else None
+    return cfg, blob["variables"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="p3_multi_object")
@@ -31,10 +58,17 @@ def main():
     ap.add_argument("--davis-root", default="/root/data/DAVIS")
     ap.add_argument("--ytvos-root", default="/root/data/YouTubeVOS")
     ap.add_argument("--chunk", type=int, default=8,
-                    help="frames per scan chunk (ytvos streaming)")
+                    help="frames per scan chunk (chunked dispatch)")
+    ap.add_argument("--per-frame", action="store_true",
+                    help="one device dispatch per frame instead of the "
+                    "chunked scan (slower; needed for hungarian decode)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard a batch of sequences over all visible "
+                    "chips (mesh 'data' axis; sequences stay chip-local)")
     ap.add_argument("--split", default=None)
     ap.add_argument("--proposal-dir", default=None)
-    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax checkpoint dir OR flax msgpack blob")
     ap.add_argument("--out", default="results/default")
     ap.add_argument("--sequences", nargs="*", default=None)
     ap.add_argument("--no-eval", action="store_true")
@@ -61,12 +95,46 @@ def main():
     from dmm_net_tpu.data.davis import DavisDataset
     from dmm_net_tpu.data.pipeline import RingStager
     from dmm_net_tpu.eval.davis_jf import evaluate_sequence, upsample_labels
+    from dmm_net_tpu.infer.batching import batch_sequence_streams
     from dmm_net_tpu.infer.engine import InferenceEngine
     from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
     from dmm_net_tpu.utils.logging import get_logger
 
     log = get_logger("infer")
-    cfg = preset(args.preset).override(**parse_overrides(getattr(args, "set")))
+
+    # ---- config + weights -------------------------------------------------
+    # A msgpack checkpoint pins the model geometry it was trained with; it
+    # becomes the base config so day one is literally
+    #   infer.py --ckpt runs/dmm448/dmm.msgpack --davis-root ...
+    msgpack_ckpt = args.ckpt and os.path.isfile(args.ckpt)
+    variables = None
+    if msgpack_ckpt:
+        ckpt_cfg, variables = load_msgpack_ckpt(args.ckpt)
+        cfg = ckpt_cfg or preset(args.preset)
+        log.info("loaded variables%s from %s",
+                 "" if ckpt_cfg is None else " + config", args.ckpt)
+    else:
+        cfg = preset(args.preset)
+    cfg = cfg.override(**parse_overrides(getattr(args, "set")))
+
+    hungarian = cfg.matching.decode == "hungarian"
+    if hungarian and not args.per_frame:
+        log.info("hungarian decode requires per-frame dispatch; "
+                 "forcing --per-frame")
+        args.per_frame = True
+    if args.per_frame and args.data_parallel:
+        raise SystemExit("--per-frame and --data-parallel are exclusive "
+                         "(the sharded path is the chunked scan)")
+
+    mesh = None
+    group_size = 1
+    if args.data_parallel:
+        from dmm_net_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=len(jax.devices()))
+        group_size = mesh.shape["data"]
+        log.info("data-parallel inference over %d device(s)", group_size)
+
+    # ---- dataset -----------------------------------------------------------
     if args.dataset == "davis":
         ds = DavisDataset(args.davis_root, split=args.split or "val",
                           image_size=cfg.model.image_size,
@@ -92,16 +160,15 @@ def main():
     M = cfg.matching.max_templates
     N = cfg.matching.max_proposals
 
-    # init or load variables
-    rng = np.random.RandomState(0)
-    state0 = init_frame_state(cfg, jnp.zeros((1, M, H, W), jnp.float32))
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, H, W, 3)),
-                           jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),
-                           jnp.zeros((1, M, cfg.model.feature_dim)),
-                           jnp.ones((1, M), bool), state0)
-    if args.ckpt:
-        from dmm_net_tpu.train.loop import create_train_state  # noqa: F401
+    # init (random) variables only when no msgpack blob supplied them
+    if variables is None:
+        state0 = init_frame_state(cfg, jnp.zeros((1, M, H, W), jnp.float32))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3)),
+                               jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),
+                               jnp.zeros((1, M, cfg.model.feature_dim)),
+                               jnp.ones((1, M), bool), state0)
+    if args.ckpt and not msgpack_ckpt:
         from dmm_net_tpu.utils.checkpoint import Checkpointer
         import orbax.checkpoint as ocp
         ckpt = Checkpointer(args.ckpt)
@@ -117,83 +184,99 @@ def main():
         log.info("loaded params from %s step %s", args.ckpt, step)
 
     engine = InferenceEngine(cfg, model=model, variables=variables,
-                             update_templates=not args.no_template_update)
+                             update_templates=not args.no_template_update,
+                             mesh=mesh)
 
-    from dmm_net_tpu.data.pipeline import normalize_frames  # noqa: F401
+    # ---- per-sequence-group loop -------------------------------------------
+    def eval_davis(seq_name, labels, annotations, object_ids):
+        if args.score_at_model_res:
+            gt = np.stack([ds.load_annotation(p) for p in annotations])
+            pred = labels[:gt.shape[0]]
+        else:
+            # Official protocol (SURVEY.md §4.5): score at the annotation's
+            # NATIVE resolution — upsample predictions, never downsample GT.
+            gt = np.stack([ds.load_annotation_native(p)
+                           for p in annotations])
+            pred = upsample_labels(labels[:gt.shape[0]], gt.shape[1:3])
+        remap = np.zeros(256, np.int32)   # GT ids -> template slots 1..K
+        for i, oid in enumerate(object_ids):
+            remap[oid] = i + 1
+        gt_mapped = remap[gt]
+        r = evaluate_sequence(gt_mapped, pred,
+                              object_ids=list(range(1, len(object_ids) + 1)))
+        results[seq_name] = {k: r[k] for k in
+                             ("J", "F", "J&F", "J_recall", "J_decay",
+                              "F_recall", "F_decay")}
+        log.info("%s: J&F=%.3f", seq_name, r["J&F"])
+
+    def write_ytvos(seq_name, labels):
+        from dmm_net_tpu.data.ytvos import write_submission
+        # the server wants a PNG for every frame listed in meta.json
+        # (the valid split's Annotations/ holds only first frames)
+        sd0 = per_seq[seq_name]
+        meta_objs = ds.meta.get(seq_name, {}).get("objects", {})
+        meta_stems = sorted({s for od in meta_objs.values()
+                             for s in od.get("frames", [])})
+        stems = meta_stems or sd0["annotated_stems"] or sd0["frame_stems"]
+        pick = [sd0["frame_stems"].index(s) for s in stems
+                if s in sd0["frame_stems"]]
+        full_size = None    # the server expects original-resolution PNGs
+        ann_dir = os.path.join(args.ytvos_root, args.split or "valid",
+                               "Annotations", seq_name)
+        if os.path.isdir(ann_dir):
+            from PIL import Image as _Image
+            first = sorted(os.listdir(ann_dir))
+            if first:
+                with _Image.open(os.path.join(ann_dir, first[0])) as im:
+                    full_size = (im.height, im.width)
+        write_submission(args.out, seq_name,
+                         [sd0["frame_stems"][i] for i in pick],
+                         labels[pick], sd0["object_ids"],
+                         full_size=full_size)
+        log.info("%s: %d frames -> submission", seq_name, labels.shape[0])
+
     results = {}
     total_frames = 0
     infer_seconds = 0.0
-    for seq_name in seqs:
-        sd = ds.sequence_stream(seq_name)
+    groups = [seqs[i:i + group_size] for i in range(0, len(seqs), group_size)]
+    for group in groups:
+        names = list(group)
+        while len(names) < group_size:   # pad the last group (dups skipped)
+            names.append(group[-1])
+        per_seq = {name: ds.sequence_stream(name) for name in set(names)}
+        sds = [per_seq[name] for name in names]
+        sd = batch_sequence_streams(sds)
         stream = RingStager(sd["frames"], depth=2)
-        if args.dataset == "ytvos":
-            # chunked-scan streaming (config #4): one dispatch per K frames;
-            # live_from/tmpl_frames gate mid-video objects correctly
-            t0 = time.time()
+        t0 = time.time()
+        if args.per_frame:
+            res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
+                                      sd["tmpl_valid"], sd["first_frame"])
+        else:
             res = engine.run_stream_chunked(
                 iter(stream), sd["tmpl_masks"], sd["tmpl_valid"],
                 sd["first_frame"], chunk=args.chunk,
-                live_from=sd["live_from"], tmpl_frames=sd["tmpl_frames"])
-            infer_seconds += time.time() - t0
-            labels = res["labels"][:, 0]
-            total_frames += labels.shape[0]
-            from dmm_net_tpu.data.ytvos import write_submission
-            # the server wants a PNG for every frame listed in meta.json
-            # (the valid split's Annotations/ holds only first frames)
-            meta_objs = ds.meta.get(seq_name, {}).get("objects", {})
-            meta_stems = sorted({s for od in meta_objs.values()
-                                 for s in od.get("frames", [])})
-            stems = meta_stems or sd["annotated_stems"] or sd["frame_stems"]
-            pick = [sd["frame_stems"].index(s) for s in stems
-                    if s in sd["frame_stems"]]
-            # the server expects original-resolution PNGs
-            full_size = None
-            ann_dir = os.path.join(args.ytvos_root, args.split or "valid",
-                                   "Annotations", seq_name)
-            if os.path.isdir(ann_dir):
-                from PIL import Image as _Image
-                first = sorted(os.listdir(ann_dir))
-                if first:
-                    with _Image.open(os.path.join(ann_dir, first[0])) as im:
-                        full_size = (im.height, im.width)
-            write_submission(args.out, seq_name,
-                             [sd["frame_stems"][i] for i in pick],
-                             labels[pick], sd["object_ids"],
-                             full_size=full_size)
-            log.info("%s: %d frames -> submission", seq_name, labels.shape[0])
-            continue
-        t0 = time.time()
-        res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
-                                  sd["tmpl_valid"], sd["first_frame"])
+                live_from=sd.get("live_from"),
+                tmpl_frames=sd.get("tmpl_frames"))
         infer_seconds += time.time() - t0
-        labels = res["labels"][:, 0]
-        total_frames += labels.shape[0]
-        seq_out = os.path.join(args.out, seq_name)
-        for t in range(labels.shape[0]):
-            engine.write_png(labels[t], os.path.join(seq_out, f"{t:05d}.png"))
-        if not args.no_eval:
-            # Official protocol (SURVEY.md §4.5): score at the annotation's
-            # NATIVE resolution — upsample predictions, never downsample GT.
-            if args.score_at_model_res:
-                gt = np.stack([ds.load_annotation(p)
-                               for p in sd["annotations"]])
-                pred = labels[:gt.shape[0]]
-            else:
-                gt = np.stack([ds.load_annotation_native(p)
-                               for p in sd["annotations"]])
-                pred = upsample_labels(labels[:gt.shape[0]], gt.shape[1:3])
-            # remap GT ids to template slots 1..K
-            remap = np.zeros(256, np.int32)
-            for i, oid in enumerate(sd["object_ids"]):
-                remap[oid] = i + 1
-            gt_mapped = remap[gt]
-            r = evaluate_sequence(gt_mapped, pred,
-                                  object_ids=list(
-                                      range(1, len(sd["object_ids"]) + 1)))
-            results[seq_name] = {k: r[k] for k in
-                                 ("J", "F", "J&F", "J_recall", "J_decay",
-                                  "F_recall", "F_decay")}
-            log.info("%s: J&F=%.3f", seq_name, r["J&F"])
+        all_labels = res["labels"]        # (T_max, B, H, W)
+        done = set()
+        for b, seq_name in enumerate(names):
+            if seq_name in done:
+                continue
+            done.add(seq_name)
+            labels = all_labels[:sd["lengths"][b], b]
+            total_frames += labels.shape[0]
+            if args.dataset == "ytvos":
+                write_ytvos(seq_name, labels)
+                continue
+            seq_out = os.path.join(args.out, seq_name)
+            for t in range(labels.shape[0]):
+                engine.write_png(labels[t],
+                                 os.path.join(seq_out, f"{t:05d}.png"))
+            if not args.no_eval:
+                eval_davis(seq_name, labels,
+                           per_seq[seq_name]["annotations"],
+                           sd["object_ids"][b])
     summary = {
         "sequences": results,
         "J": float(np.mean([r["J"] for r in results.values()])) if results else None,
@@ -202,6 +285,9 @@ def main():
         # inference-only rate (decode+engine; excludes eval + PNG writing)
         "fps": total_frames / max(infer_seconds, 1e-9),
         "frames": total_frames,
+        "dispatch": "per_frame" if args.per_frame else "chunked_scan",
+        "chunk": None if args.per_frame else args.chunk,
+        "data_parallel": group_size if args.data_parallel else None,
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:

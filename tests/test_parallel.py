@@ -182,3 +182,120 @@ def test_sharded_inference_matches_single_device(devices):
     with pytest.raises(ValueError, match="not divisible"):
         sharded.run_sequence_chunked(frames[:, :6], pm[:, :6], pv[:, :6],
                                      tm[:6], tv[:6], chunk=3)
+
+
+def test_sharded_stream_chunked_matches_single_device(devices):
+    """run_stream_chunked — the PRODUCTION streaming path infer.py drives —
+    honors the mesh: 8 sequences sharded over the data axis produce the
+    same labels as the unsharded engine (VERDICT r2 next #4; previously
+    only run_sequence_chunked implemented mesh placement)."""
+    from dmm_net_tpu.data.synthetic import synthetic_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+
+    cfg = _cfg()
+    model = DMMNet(cfg)
+    B, T = 8, 4
+    seqs = [synthetic_sequence(seed=200 + b, T=T, H=64, W=64, num_objects=2,
+                               num_proposals=cfg.matching.max_proposals)
+            for b in range(B)]
+    M = cfg.matching.max_templates
+
+    def pad_m(x, axis=0):
+        p = [(0, 0)] * x.ndim
+        p[axis] = (0, M - x.shape[axis])
+        return np.pad(x, p)
+
+    tm = np.stack([pad_m(s["tmpl_masks"]) for s in seqs])
+    tv = np.stack([pad_m(s["tmpl_valid"]) for s in seqs])
+    first = np.stack([s["frames"][0] for s in seqs])
+
+    st0 = FrameState(
+        template_masks=jnp.asarray(tm),
+        decoder_state=jnp.zeros((B, M, 2, 2, decoder_state_dim(cfg))))
+    variables = model.init(
+        jax.random.PRNGKey(0), first,
+        np.stack([s["prop_masks"][0] for s in seqs]),
+        np.stack([s["prop_valid"][0] for s in seqs]),
+        jnp.zeros((B, M, cfg.model.feature_dim)), tv, st0)
+
+    def stream():
+        for t in range(T):
+            yield {"frame": np.stack([s["frames"][t] for s in seqs]),
+                   "prop_masks": np.stack([s["prop_masks"][t] for s in seqs]),
+                   "prop_valid": np.stack([s["prop_valid"][t] for s in seqs])}
+
+    plain = InferenceEngine(cfg, model=model, variables=variables,
+                            bucket_templates=False)
+    r0 = plain.run_stream_chunked(stream(), tm, tv, first, chunk=3)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = InferenceEngine(cfg, model=model, variables=variables,
+                              bucket_templates=False, mesh=mesh)
+    r1 = sharded.run_stream_chunked(stream(), tm, tv, first, chunk=3)
+
+    mismatch = np.mean(r0["labels"] != r1["labels"])
+    assert mismatch < 1e-4, f"label mismatch fraction {mismatch}"
+    np.testing.assert_allclose(r0["assignments"], r1["assignments"],
+                               rtol=1e-5, atol=1e-5)
+
+    # batch not divisible by the data axis -> explicit error
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded.run_stream_chunked(stream(), tm[:6], tv[:6], first[:6],
+                                   chunk=3)
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def test_inference_has_no_collectives_train_has_allreduce(devices):
+    """Compiled-HLO structure check (SURVEY.md §3.3): DP inference keeps
+    every sequence chip-local (NO collectives in the compiled module),
+    while the DP train step carries the gradient all-reduce."""
+    from dmm_net_tpu.data.synthetic import synthetic_clip_batch, \
+        synthetic_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet, FrameState, decoder_state_dim
+
+    cfg = _cfg()
+    model = DMMNet(cfg)
+    mesh = make_mesh(data=8, model=1)
+    B, T, M = 8, 3, cfg.matching.max_templates
+    N = cfg.matching.max_proposals
+    rng = np.random.RandomState(0)
+
+    # --- inference chunk step, inputs sharded exactly as the engine does
+    engine = InferenceEngine(cfg, model=model, variables=None, mesh=mesh)
+    frames = engine._seq_sharded(
+        rng.rand(T, B, 64, 64, 3).astype(np.float32), time_leading=True)
+    pm = engine._seq_sharded(
+        (rng.rand(T, B, N, 64, 64) > 0.8).astype(np.float32),
+        time_leading=True)
+    pv = engine._seq_sharded(np.ones((T, B, N), bool), time_leading=True)
+    tf_ = engine._seq_sharded(rng.randn(B, M, cfg.model.feature_dim)
+                              .astype(np.float32))
+    tv = engine._seq_sharded(np.ones((B, M), bool))
+    st = FrameState(
+        template_masks=engine._seq_sharded(
+            (rng.rand(B, M, 64, 64) > 0.8).astype(np.float32)),
+        decoder_state=engine._seq_sharded(
+            np.zeros((B, M, 2, 2, decoder_state_dim(cfg)), np.float32)))
+    variables = model.init(jax.random.PRNGKey(0), frames[0], pm[0], pv[0],
+                           tf_, tv, st)
+    engine.variables = variables
+    vrep = engine._replicated_variables()
+    hlo = (jax.jit(engine._chunk_step)
+           .lower(vrep, frames, pm, pv, tf_, tv, st).compile().as_text())
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"inference step contains collectives: {found}"
+
+    # --- train step: the gradient all-reduce must be there
+    from dmm_net_tpu.train.loop import create_train_state, make_train_step
+    batch = {k: np.asarray(v) for k, v in synthetic_clip_batch(
+        seed=0, batch=8, T=2, H=64, W=64, num_objects=2,
+        num_proposals=N, pad_objects=M).items()}
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, mesh=mesh)
+    hlo_train = step.lower(state, shard_batch(batch, mesh)).compile().as_text()
+    assert "all-reduce" in hlo_train, "train step lost the gradient all-reduce"
