@@ -97,6 +97,16 @@ class ModelConfig:
     template_update: str = "decoder"
     image_size: Tuple[int, int] = (256, 448)  # H, W (DAVIS 480p downscaled)
     num_skip_levels: int = 4       # backbone taps C2..C5
+    # BatchNorm statistics during training. False (default) = frozen BN:
+    # the reference fine-tunes ImageNet/COCO-lineage backbones with frozen
+    # BN (small per-GPU batches make batch statistics noisy — the standard
+    # detection recipe). True = train-mode BN: batch statistics normalize
+    # the forward pass and running stats update every step (threaded
+    # through the frame scan and saved in checkpoints) — the right setting
+    # for from-scratch training, e.g. the synthetic quality ladder.
+    # Inference ALWAYS uses running averages regardless of this flag
+    # (only DMMNet(train=True), built by the train step, enables it).
+    train_bn: bool = False
 
 
 @dataclass(frozen=True)

@@ -47,14 +47,20 @@ class FrameOutput(NamedTuple):
 
 
 class DMMNet(nn.Module):
-    """Differentiable Mask-Matching network (one frame step)."""
+    """Differentiable Mask-Matching network (one frame step).
+
+    `train=True` (built only by train/loop.py) enables train-mode BN when
+    cfg.model.train_bn is set; inference engines always construct the
+    default train=False, so BN uses running averages there regardless."""
 
     config: Config
+    train: bool = False
 
     def setup(self):
         cfg = self.config
         self.backbone = backbone_by_name(
             cfg.model.backbone,
+            train_bn=self.train and cfg.model.train_bn,
             dtype=jnp.bfloat16 if cfg.model.backbone_dtype == "bfloat16"
             else jnp.float32)
         self.feat_proj = nn.Conv(cfg.model.feature_dim, (1, 1), name="feat_proj",

@@ -77,7 +77,15 @@ def create_train_state(cfg: Config, rng: jax.Array,
 
 
 def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
-    """Forward a clip batch; returns (loss, logits).
+    """Forward a clip batch; returns (loss, logits, batch_stats).
+
+    batch_stats is the (possibly updated) BN running-stats collection:
+    with cfg.model.train_bn and a train-mode model, each frame's backbone
+    pass normalizes with batch statistics and the running averages are
+    threaded through the frame scan (momentum update per frame, exactly
+    the torch train() semantics); otherwise the input collection is
+    returned unchanged (frozen BN — the detection-lineage fine-tuning
+    default, see config.py ModelConfig.train_bn).
 
     batch: frames (B,T,H,W,3), prop_masks (B,T,N,H,W), prop_valid (B,T,N),
     tmpl_masks (B,M,H,W), tmpl_valid (B,M), gt_masks (B,T,M,H,W).
@@ -101,16 +109,27 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
 
     state0 = model.apply(variables, tmpl_masks, method=DMMNet.init_state)
     tf0 = jnp.zeros(tmpl_valid.shape + (cfg.model.feature_dim,), jnp.float32)
+    bn_mut = model.train and cfg.model.train_bn
+    bs0 = variables.get("batch_stats", FrozenDict())
 
     def frame_apply(carry, frame, pmask, pvalid, t):
-        st, tfeats = carry
-        feats = model.apply(variables, frame, method=DMMNet.extract_features)
-        pooled = model.apply(variables, feats, tmpl_masks,
+        st, tfeats, bs = carry
+        vars_t = {"params": variables["params"], "batch_stats": bs}
+        if bn_mut:
+            # the backbone runs ONLY here; the other applies reuse feats,
+            # so this is the single batch_stats mutation point per frame
+            feats, mut = model.apply(vars_t, frame, mutable=["batch_stats"],
+                                     method=DMMNet.extract_features)
+            bs = jax.lax.stop_gradient(mut["batch_stats"])
+        else:
+            feats = model.apply(vars_t, frame,
+                                method=DMMNet.extract_features)
+        pooled = model.apply(vars_t, feats, tmpl_masks,
                              method=DMMNet.pool_mask_features)
         # each object's template features lock in at its own frame
         tfeats = jnp.where((live_from == t)[..., None], pooled, tfeats)
         valid_t = tmpl_valid & (t >= live_from)
-        out, new_st = model.apply(variables, frame, pmask, pvalid,
+        out, new_st = model.apply(vars_t, frame, pmask, pvalid,
                                   tfeats, valid_t, st, feats)
         if gated:
             # pre-live slots keep their GT template mask (the aggregation/
@@ -120,7 +139,7 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
             new_st = new_st._replace(template_masks=jnp.where(
                 live_px, new_st.template_masks,
                 _grid_like(tmpl_masks, new_st.template_masks)))
-        return (new_st, tfeats), out.logits
+        return (new_st, tfeats, bs), out.logits
 
     if cfg.train.remat:
         # recompute frame activations in the backward pass: clip-BPTT
@@ -135,28 +154,29 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
           jnp.moveaxis(batch["prop_masks"], 1, 0),
           jnp.moveaxis(batch["prop_valid"], 1, 0),
           jnp.arange(T, dtype=jnp.int32))
-    _, logits_t = jax.lax.scan(step, (state0, tf0), xs)
+    (_, _, bs_out), logits_t = jax.lax.scan(step, (state0, tf0, bs0), xs)
     logits = jnp.moveaxis(logits_t, 0, 1)                 # (B, T, M, H, W)
     loss_valid = batch.get("gt_valid", tmpl_valid)
     loss = clip_loss(logits, batch["gt_masks"], loss_valid,
                      bce_weight=cfg.train.loss_bce_weight,
                      iou_weight=cfg.train.loss_iou_weight)
-    return loss, logits
+    return loss, logits, bs_out
 
 
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """Build the jitted train step. With a mesh, inputs are sharded batch-
     on-"data" and state replicated (donated for in-place update)."""
-    model = DMMNet(cfg)
+    model = DMMNet(cfg, train=True)
 
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            loss, logits = _clip_forward(model, variables, batch, cfg)
-            return loss, logits
+            loss, logits, new_bs = _clip_forward(model, variables, batch, cfg)
+            return loss, (logits, new_bs)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
+        (loss, (_, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
