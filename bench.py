@@ -50,6 +50,10 @@ REFERENCE_GPU_FPS = 10.0
 
 # TPU v5e peak: 197 TFLOP/s bf16 (394 int8). Used only for the MFU field.
 V5E_BF16_PEAK_FLOPS = 197e12
+# TPU v5e HBM bandwidth: 819 GB/s. The workload is bandwidth-bound
+# (ROUND_NOTES r2 per-stage GB/s), so %-of-HBM-roofline is the honest
+# saturation metric — MFU alone reads as headroom that may not exist.
+V5E_HBM_PEAK_BYTES = 819e9
 
 
 def main():
@@ -165,7 +169,7 @@ def main():
     # cost_analysis counts a lax.scan (while-loop) BODY ONCE, not K times,
     # so in chunked mode the flops correspond to one frame-batch of B
     # frames (plus negligible outside-loop ops).
-    gflop_per_frame = mfu_pct = None
+    gflop_per_frame = mfu_pct = mb_per_frame = hbm_pct = None
     try:
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
@@ -176,6 +180,15 @@ def main():
             gflop_per_frame = flops / per_count_frames / 1e9
             mfu_pct = (100.0 * flops * fps / per_count_frames
                        / V5E_BF16_PEAK_FLOPS)
+        # HBM roofline: XLA's "bytes accessed" sums HLO buffer reads+writes
+        # after fusion — a close proxy for HBM traffic when working sets
+        # exceed VMEM (true for every stage here). Same scan-body-once
+        # counting as flops: bytes correspond to one B-frame batch.
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if bytes_acc > 0:
+            mb_per_frame = bytes_acc / per_count_frames / 1e6
+            hbm_pct = (100.0 * bytes_acc * fps / per_count_frames
+                       / V5E_HBM_PEAK_BYTES)
     except Exception:
         pass
 
@@ -198,6 +211,9 @@ def main():
         "gflop_per_frame": None if gflop_per_frame is None
         else round(gflop_per_frame, 2),
         "mfu_pct_bf16_peak": None if mfu_pct is None else round(mfu_pct, 2),
+        "mb_per_frame": None if mb_per_frame is None
+        else round(mb_per_frame, 1),
+        "hbm_roofline_pct": None if hbm_pct is None else round(hbm_pct, 2),
     }))
 
 

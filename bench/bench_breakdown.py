@@ -31,7 +31,8 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_overlaps
-    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
+    from dmm_net_tpu.models.dmm import (DMMNet, _to_mask_grid,
+                                        init_frame_state, mask_hw)
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
@@ -62,7 +63,13 @@ def main():
     def agg(frame, pm, pv, tf_, tv, state):
         feats, X = model.apply(variables, frame, pm, pv, tf_, tv, state,
                                method=DMMNet.match_assignment)
-        A = DMMNet.aggregate(X, pm.astype(state.template_masks.dtype), tv)
+        # aggregate at the config mask grid — the production step under p3
+        # (mask_res="stride4") aggregates H/4 x W/4 masks inside
+        # decode_from_assignment; full-res pm here would inflate this
+        # stage ~16x and understate the (+)decoder delta
+        A = DMMNet.aggregate(
+            X, _to_mask_grid(pm.astype(state.template_masks.dtype),
+                             mask_hw(cfg)), tv)
         return [v.sum() for v in feats.values()] + [X.sum(), A.sum()]
 
     def decoder(frame, pm, pv, tf_, tv, state):
@@ -101,9 +108,10 @@ def main():
         fl = float(c.get("flops", 0)) / 1e9
         by = float(c.get("bytes accessed", 0)) / 1e6
         d_dt, d_fl, d_by = dt - prev[0], fl - prev[1], by - prev[2]
+        eff = d_by / max(d_dt, 1e-9)             # MB/ms == GB/s
         print(f"{name:20s} {dt:8.3f} ms  (delta {d_dt:7.3f} ms, "
               f"{d_fl:7.2f} GF, {d_by:8.1f} MB, "
-              f"{d_by / max(d_dt, 1e-9):6.0f} GB/s eff)")
+              f"{eff:6.0f} GB/s eff = {100 * eff / 819:3.0f}% of v5e HBM)")
         prev = (dt, fl, by)
 
 

@@ -19,7 +19,9 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 0.99, 0.05)
+# exact cocoeval threshold values — np.arange accumulates float error
+# (0.9500000000000003 would reject exact-boundary IoUs linspace accepts)
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 

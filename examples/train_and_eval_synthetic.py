@@ -45,6 +45,12 @@ def main():
                     "cached Mask R-CNN proposals, SURVEY.md §1.1/§4.3)")
     ap.add_argument("--mrcnn-backbone", default="resnet18")
     ap.add_argument("--mrcnn-classes", type=int, default=4)
+    ap.add_argument("--set", nargs="*", default=[],
+                    help="dotted config overrides applied to the built "
+                    "config, e.g. --set matching.solver=pgd "
+                    "matching.pgd_iters=30 (the SURVEY §8.5 solver "
+                    "ablation: the reference trains through unrolled "
+                    "PGD+Dykstra; our default is Sinkhorn)")
     ap.add_argument("--ablate", action="store_true",
                     help="after training, score the SAME weights under "
                     "decode soft/argmax/hungarian and both template-update "
@@ -82,6 +88,10 @@ def main():
         train=TrainConfig(lr=3e-4, warmup_steps=20, total_steps=args.steps,
                           loss_iou_weight=0.5),
     )
+    if args.set:
+        from dmm_net_tpu.utils.cli import parse_overrides
+        cfg = cfg.override(**parse_overrides(args.set))
+        print(f"overrides: {args.set}")
     print(f"devices: {jax.devices()}")
 
     def make_batch(seed):

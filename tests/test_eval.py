@@ -95,6 +95,49 @@ def test_ytvos_local_scorer():
     assert s2["seen"]["G"] == 1.0 and s2["unseen"]["G"] < 0.1
 
 
+def test_ytvos_local_scorer_from_written_submission(tmp_path):
+    """End-to-end drill (VERDICT r2 next #8): engine labels -> the official
+    submission tree (palette PNGs, original resolution via write_submission)
+    -> read back -> local protocol score. Proves the bytes the server would
+    receive score correctly, not just in-memory arrays."""
+    import os
+
+    from PIL import Image
+
+    from dmm_net_tpu.data.ytvos import write_submission
+    from dmm_net_tpu.eval.ytvos_local import evaluate_video, summarize
+
+    H, W = 32, 48
+    full = (64, 96)                     # original resolution != model res
+    stems = ["00000", "00005", "00010"]
+    labels = np.zeros((3, H, W), np.uint8)
+    labels[:, 4:14, 4:14] = 1           # slot 1
+    labels[1:, 18:26, 30:40] = 2        # slot 2 appears at its live frame
+    object_ids = [3, 7]                 # non-contiguous original ids
+    write_submission(str(tmp_path), "vidA", stems, labels, object_ids,
+                     full_size=full)
+
+    pred = {}
+    for stem in stems:
+        p = os.path.join(str(tmp_path), "Annotations", "vidA", f"{stem}.png")
+        with Image.open(p) as im:
+            assert im.mode == "P"       # server wants palette PNGs
+            arr = np.asarray(im)
+        assert arr.shape == full
+        pred[stem] = arr.astype(np.int32)
+    assert set(np.unique(pred["00005"])) == {0, 3, 7}
+
+    # GT at original resolution = the exact upsampled masks
+    gt = {s: np.asarray(Image.fromarray(
+        np.asarray([0, 3, 7], np.uint8)[labels[i]]).resize(
+            (full[1], full[0]), Image.NEAREST)).astype(np.int32)
+        for i, s in enumerate(stems)}
+    res = evaluate_video(gt, pred, {3: "00000", 7: "00005"})
+    assert res[3]["J"] == 1.0 and res[3]["F"] == 1.0
+    assert res[7]["J"] == 1.0
+    assert summarize({"vidA": res})["overall"]["G"] == 1.0
+
+
 def test_recall_and_decay_statistics():
     T, H, W = 10, 32, 32
     gt = np.zeros((T, H, W), np.int32)

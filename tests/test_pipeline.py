@@ -81,39 +81,34 @@ def test_ring_stager_order():
     assert got == list(range(7))
 
 
-def test_ring_stager_overlaps_decode_with_compute():
-    """VERDICT r1 #6: the source iterator (decode) must run on a producer
-    thread so decode overlaps consumer-side compute. With 10 items at
-    ~30 ms decode + ~30 ms compute, serial execution costs >= 600 ms; the
-    threaded stager must land well under that (pure decode + one compute
-    of pipeline fill). Margins are generous for loaded CI machines."""
+def test_ring_stager_producer_runs_ahead():
+    """VERDICT r1 #6 / r2 weak-#6: the source iterator (decode) must run on
+    a PRODUCER thread so decode overlaps consumer-side compute. Asserted
+    structurally, not by wall-clock (the previous timing-ratio version was
+    host-load-sensitive): after the consumer takes ONE item and then stalls,
+    the producer must keep decoding ahead on its own thread — a lazy serial
+    iterator would have produced exactly 1 item at that point."""
     import time
 
-    T, D = 10, 0.03
+    T, depth = 10, 3
+    produced = []
 
-    def slow_stream():
+    def stream():
         for i in range(T):
-            time.sleep(D)                 # stands in for JPEG decode
+            produced.append(i)            # decode-progress counter
             yield {"x": np.full((1,), i)}
 
-    def run_threaded():
-        t0 = time.monotonic()
-        got = []
-        for item in RingStager(slow_stream(), depth=3):
-            time.sleep(D)                 # stands in for device compute
-            got.append(int(item["x"][0]))
-        assert got == list(range(T))
-        return time.monotonic() - t0
-
-    def run_serial():
-        t0 = time.monotonic()
-        for item in slow_stream():
-            time.sleep(D)
-        return time.monotonic() - t0
-
-    # Compare against a serial baseline MEASURED in the same environment
-    # (host load inflates both sides equally), best-of-3 to ride out
-    # transient contention — this test measured exactly-serial while a
-    # TPU bench saturated the host, and the fix is robustness, not margin.
-    ratio = min(run_threaded() / max(run_serial(), 1e-9) for _ in range(3))
-    assert ratio < 0.85, ratio
+    it = iter(RingStager(stream(), depth=depth))
+    first = next(it)
+    assert int(first["x"][0]) == 0
+    # consumer stalls here; the producer thread alone must fill the ring:
+    # 1 consumed + `depth` queued (+1 may sit blocked in put) => >= 1+depth
+    deadline = time.monotonic() + 10.0
+    while len(produced) < 1 + depth and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert len(produced) >= 1 + depth, (
+        f"producer only decoded {len(produced)} items while the consumer "
+        f"stalled — decode is not running ahead on its own thread")
+    # drain: order and completeness still hold
+    rest = [int(item["x"][0]) for item in it]
+    assert rest == list(range(1, T))
