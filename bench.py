@@ -65,7 +65,7 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
-    from dmm_net_tpu.infer.engine import InferenceEngine, resolve_overlaps
+    from dmm_net_tpu.infer.engine import InferenceEngine, resolve_labels
     from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
     mode = os.environ.get("BENCH_MODE", "chunked_scan")
@@ -117,7 +117,8 @@ def main():
         def step(frame, pm, pv, tf_, tv, state):
             out, new_state = model.apply(variables, frame, pm, pv, tf_, tv,
                                          state)
-            return resolve_overlaps(out.logits, tv), new_state
+            return resolve_labels(out.logits, tv, (H, W),
+                                  use_pallas=cfg.matching.use_pallas), new_state
 
         lowered = step.lower(frame, pm, pv, tf_, tv, state)
         labels, st = step(frame, pm, pv, tf_, tv, state)

@@ -30,7 +30,7 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
-    from dmm_net_tpu.infer.engine import resolve_overlaps
+    from dmm_net_tpu.infer.engine import resolve_labels
     from dmm_net_tpu.models.dmm import (DMMNet, _to_mask_grid,
                                         init_frame_state, mask_hw)
 
@@ -78,7 +78,8 @@ def main():
 
     def full(frame, pm, pv, tf_, tv, state):
         out, st = model.apply(variables, frame, pm, pv, tf_, tv, state)
-        return resolve_overlaps(out.logits, tv), st
+        return resolve_labels(out.logits, tv, (H, W),
+                              use_pallas=cfg.matching.use_pallas), st
 
     args = (frame, pm, pv, tf_, tv, state)
     print(f"B={B} image={H}x{W} M={M} N={N} mask_res={cfg.model.mask_res} "

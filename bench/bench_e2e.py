@@ -29,7 +29,7 @@ def main():
     import numpy as np
 
     from dmm_net_tpu.config import preset
-    from dmm_net_tpu.infer.engine import resolve_overlaps
+    from dmm_net_tpu.infer.engine import resolve_labels
     from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
     base = preset("p3_multi_object")
@@ -63,7 +63,8 @@ def main():
         @jax.jit
         def step(frame, pm, pv, tf_, tv, st):
             out, new_st = model.apply(variables, frame, pm, pv, tf_, tv, st)
-            return resolve_overlaps(out.logits, tv), new_st
+            return resolve_labels(out.logits, tv, (H, W),
+                                  use_pallas=base.matching.use_pallas), new_st
 
         labels, st2 = step(frame, pm, pv, tf_, tv, st)
         jax.block_until_ready(labels)

@@ -81,6 +81,17 @@ class ModelConfig:
     # at the end as before). Cost/pool masks are derived from the
     # stride-4 masks (a resize of a resize — quality-validated A/B).
     mask_res: str = "full"
+    # Resolution of the per-object logits the frame step RETURNS: "full"
+    # (H, W — required for training loss and the legacy per-frame paths)
+    # or "mask" (the decoder's native mask grid, H/4 x W/4 under
+    # mask_res="stride4"). "mask" removes the step's largest avoidable
+    # HBM traffic — the decoder's final upsample materialized
+    # (B, M, H, W) f32 only for label-argmax to reduce it away — and the
+    # engine instead resolves labels with the fused upsample+argmax
+    # Pallas kernel (kernels/resolve.py), reading ~0.5 MB/frame instead
+    # of ~120. Template update is unaffected (it consumes the mask grid
+    # either way). Production inference presets (p3, p4) use "mask".
+    logits_res: str = "full"
     decoder_fine_level: str = "c2"  # "c3" = fast mode (~80% fewer decoder FLOPs)
     decoder_recurrent: bool = True  # ConvGRU state carried across frames
     # Decoder structure: "shared" = object-proportional SharedFPNDecoder
@@ -113,6 +124,10 @@ class ModelConfig:
 class DataConfig:
     dataset: str = "synthetic"     # synthetic | davis | ytvos
     root: str = "/root/data"
+    # Cached detector proposals (tools/extract_proposals.py output tree).
+    # The reference trains on cached Mask R-CNN proposals (SURVEY §1.1/
+    # §4.3); empty = GT-synthesized proposals (plumbing/dev runs only).
+    proposal_dir: str = ""
     clip_length: int = 4           # frames per training clip
     batch_size: int = 2            # clips per step (global)
     num_workers: int = 4
@@ -244,7 +259,7 @@ def _p3_multi_object() -> Config:
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
-                          mask_res="stride4"),
+                          mask_res="stride4", logits_res="mask"),
         data=DataConfig(dataset="davis", batch_size=4),
     )
 
@@ -256,7 +271,7 @@ def _p4_ytvos_stream() -> Config:
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
-                          mask_res="stride4"),
+                          mask_res="stride4", logits_res="mask"),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )
 

@@ -78,6 +78,23 @@ def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
     return jnp.where(best > bg_logit, idx + 1, 0).astype(jnp.uint8)
 
 
+def resolve_labels(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
+                   image_hw, use_pallas: bool = True) -> jnp.ndarray:
+    """Logits at ANY resolution -> uint8 labels at image_hw.
+
+    Full-res logits take the plain fused argmax (resolve_overlaps).
+    Mask-grid logits (model.logits_res="mask") go through the fused
+    bilinear-upsample+argmax kernel (kernels/resolve.py) so the
+    (B, M, H, W) tensor is never materialized — the round-3 roofline cut."""
+    if logits.shape[-2:] == tuple(image_hw):
+        return resolve_overlaps(logits, tmpl_valid)
+    from dmm_net_tpu.kernels.resolve import (fused_resolve_upsample,
+                                             resolve_upsample_jnp)
+    if use_pallas and jax.default_backend() == "tpu":
+        return fused_resolve_upsample(logits, tmpl_valid, tuple(image_hw))
+    return resolve_upsample_jnp(logits, tmpl_valid, tuple(image_hw))
+
+
 _BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
@@ -179,12 +196,17 @@ class InferenceEngine:
                                   method=DMMNet.pool_mask_features)
         return pooled.reshape(B, M, -1)
 
+    def _resolve(self, logits, tmpl_valid):
+        """Logits -> full-resolution uint8 labels (see resolve_labels)."""
+        return resolve_labels(logits, tmpl_valid, self.cfg.model.image_size,
+                              use_pallas=self.cfg.matching.use_pallas)
+
     def _frame_step(self, variables, frame, prop_masks, prop_valid,
                     tmpl_feats, tmpl_valid, state):
         out, new_state = self.model.apply(variables, frame, prop_masks,
                                           prop_valid, tmpl_feats, tmpl_valid,
                                           state)
-        labels = resolve_overlaps(out.logits, tmpl_valid)
+        labels = self._resolve(out.logits, tmpl_valid)
         if not self.update_templates:
             new_state = new_state._replace(template_masks=state.template_masks)
         return labels, out.assignment, new_state
@@ -223,7 +245,7 @@ class InferenceEngine:
         out, new_state = self.model.apply(
             variables, feats, X, prop_masks, tmpl_valid, state,
             method=DMMNet.decode_from_assignment)
-        labels = resolve_overlaps(out.logits, tmpl_valid)
+        labels = self._resolve(out.logits, tmpl_valid)
         if not self.update_templates:
             new_state = new_state._replace(template_masks=state.template_masks)
         return labels, out.assignment, new_state
@@ -336,7 +358,7 @@ class InferenceEngine:
             valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
             out, new_st = self.model.apply(variables, frame, pmask, pvalid,
                                            tmpl_feats, valid_t, st)
-            labels = resolve_overlaps(out.logits, valid_t)
+            labels = self._resolve(out.logits, valid_t)
             if not self.update_templates:
                 new_st = new_st._replace(template_masks=st.template_masks)
             elif gated:
@@ -377,7 +399,7 @@ class InferenceEngine:
             valid_t = (tmpl_valid & (t >= live_from)) if gated else tmpl_valid
             out, new_st = self.model.apply(variables, frame, pmask, pvalid,
                                            tmpl_feats, valid_t, st)
-            labels = resolve_overlaps(out.logits, valid_t)
+            labels = self._resolve(out.logits, valid_t)
             if not self.update_templates:
                 new_st = new_st._replace(template_masks=st.template_masks)
             elif gated:

@@ -1,0 +1,166 @@
+"""Fused bilinear-upsample + overlap-argmax label resolution.
+
+Why this kernel exists (round-3 roofline work): the production frame step
+is HBM-bandwidth-bound (bench.py `hbm_roofline_pct` ~110% of the XLA
+bytes proxy), and its single largest avoidable traffic was the full-
+resolution per-object logits round trip — the decoder's final
+`jax.image.resize` materialized (B, M, H, W) float32 (~58 MB per 8-frame
+batch at the p3 geometry) only for `resolve_overlaps` to immediately
+reduce it to (B, H, W) uint8 labels. Under `model.logits_res="mask"` the
+decoder keeps logits at its native stride-4 grid and this kernel produces
+full-resolution labels directly:
+
+    reads  logits (B, M, H/4, W/4) f32      (~0.5 MB/frame)
+    writes labels (B, H, W) int32           (~0.5 MB/frame)
+
+instead of ~120 MB/frame of materialized upsampled logits. Bilinear
+upsampling is expressed as two small matmuls per object plane against
+row/column interpolation matrices (MXU work, ~0.5 GFLOP/frame — noise),
+with the running max/argmax kept VMEM-resident across the static object
+loop. The interpolation matrices are extracted from `jax.image.resize`
+itself (resize of an identity matrix), so the kernel's upsampling is
+bit-faithful to the separable bilinear the rest of the codebase uses.
+
+Gather-free by construction (see memory: gathers are poison on TPU; an
+interp-matrix matmul is the house idiom, same as ops/roi_align).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e4   # matches decode_from_assignment's invalid-slot fill
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=32)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_in, n_out) matrix I with resize(x, axis) == x @ I: triangle
+    (bilinear) weights at half-pixel sample centers with edge clamp — the
+    same convention jax.image.resize(method="bilinear") uses for
+    UPsampling (antialias only changes downscales), asserted equal in
+    tests/test_resolve_kernel.py. Pure numpy on purpose: this runs at
+    TRACE time inside jitted steps (a jnp implementation would turn into
+    a tracer and break np.asarray). Cached: shapes are static per config."""
+    out = np.zeros((n_in, n_out), np.float32)
+    if n_in == n_out:
+        np.fill_diagonal(out, 1.0)
+        return out
+    scale = n_in / n_out
+    for o in range(n_out):
+        x = min(max((o + 0.5) * scale - 0.5, 0.0), n_in - 1.0)
+        i0 = int(np.floor(x))
+        f = x - i0
+        i1 = min(i0 + 1, n_in - 1)
+        out[i0, o] += 1.0 - f
+        out[i1, o] += f
+    return out
+
+
+def _resolve_kernel(lg_ref, r_ref, c_ref, out_ref, *, M: int, bg_logit: float):
+    """One batch element: labels = argmax over upsampled object logits.
+
+    lg_ref (1, M, h, w); r_ref (1, H, h) row-interp (transposed so the
+    matmul is R @ L); c_ref (1, w, W) col-interp; out (1, H, W) int32.
+    Strict `>` keeps the earlier object on exact ties — same semantics as
+    jnp.argmax — and `best > bg_logit` sends ties-with-background to
+    background, matching resolve_overlaps.
+    """
+    R = r_ref[0]                                    # (H, h)
+    C = c_ref[0]                                    # (w, W)
+    H, W = R.shape[0], C.shape[1]
+    best = jnp.full((H, W), -jnp.inf, jnp.float32)
+    idx = jnp.zeros((H, W), jnp.int32)
+    for m in range(M):                              # static: M <= 16/32
+        # Precision.HIGHEST: full-f32 MXU passes so labels match the jnp
+        # fallback (which pins HIGHEST) bit-for-bit up to ties. At default
+        # (single-bf16-pass) precision the compiled kernel flipped 0.23%
+        # of labels vs the fallback; HIGHEST costs ~3% step throughput
+        # (1582->1537 fps) and Mosaic does not lower Precision.HIGH.
+        A = jax.lax.dot_general(R, lg_ref[0, m], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        U = jax.lax.dot_general(A, C, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        upd = U > best
+        best = jnp.where(upd, U, best)
+        idx = jnp.where(upd, m, idx)
+    out_ref[0] = jnp.where(best > bg_logit, idx + 1, 0)
+
+
+def fused_resolve_upsample(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
+                           out_hw, bg_threshold: float = 0.5,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """logits (B, M, h, w) at the mask grid -> labels (B, H, W) uint8 at
+    full resolution, without materializing upsampled logits."""
+    if interpret is None:
+        # Pallas TPU kernels only compile on TPU; everywhere else (CPU
+        # tests, fake-device meshes) fall back to interpreter mode.
+        interpret = jax.default_backend() != "tpu"
+    B, M, h, w = logits.shape
+    H, W = out_hw
+    bg_logit = float(math.log(bg_threshold / (1.0 - bg_threshold)))
+    lg = jnp.where(tmpl_valid[..., None, None], logits.astype(jnp.float32),
+                   _NEG)
+
+    # lane/sublane padding: last dim -> x128, second-to-last -> x8
+    wp, Wp = _round_up(w, 128), _round_up(W, 128)
+    hp, Hp = _round_up(h, 8), _round_up(H, 8)
+    R = jnp.asarray(_interp_matrix(h, H)).T         # (H, h)
+    C = jnp.asarray(_interp_matrix(w, W))           # (w, W)
+    lg = jnp.pad(lg, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)),
+                 constant_values=_NEG)
+    R = jnp.pad(R, ((0, Hp - H), (0, hp - h)))      # zero rows/cols: padded
+    C = jnp.pad(C, ((0, wp - w), (0, Wp - W)))      # samples get weight 0
+
+    kern = functools.partial(_resolve_kernel, M=M, bg_logit=bg_logit)
+
+    def im3(i):
+        return (i, 0, 0)
+
+    labels = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, M, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, hp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wp, Wp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hp, Wp), im3, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lg, R[None], C[None])
+    return labels[:, :H, :W].astype(jnp.uint8)
+
+
+def resolve_upsample_jnp(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
+                         out_hw, bg_threshold: float = 0.5) -> jnp.ndarray:
+    """jnp reference/fallback (CPU tests, non-TPU backends): the SAME
+    interp-matrix matmuls, materialized, then the standard argmax. Exact
+    arithmetic twin of the kernel up to matmul association."""
+    B, M, h, w = logits.shape
+    H, W = out_hw
+    bg_logit = float(math.log(bg_threshold / (1.0 - bg_threshold)))
+    lg = jnp.where(tmpl_valid[..., None, None], logits.astype(jnp.float32),
+                   _NEG)
+    R = jnp.asarray(_interp_matrix(h, H))           # (h, H)
+    C = jnp.asarray(_interp_matrix(w, W))           # (w, W)
+    up = jnp.einsum("bmhw,hH,wW->bmHW", lg, R, C,
+                    precision=jax.lax.Precision.HIGHEST)
+    idx = jnp.argmax(up, axis=1)
+    best = jnp.max(up, axis=1)
+    return jnp.where(best > bg_logit, idx + 1, 0).astype(jnp.uint8)

@@ -241,8 +241,16 @@ class DMMNet(nn.Module):
             prop_masks.astype(_mask_dtype(self.config)),
             mask_hw(self.config))
         agg = self.aggregate(X, prop_masks, tmpl_valid)
+        # logits_res="mask": keep logits at the decoder's native grid — the
+        # final upsample is deferred into the engine's fused upsample+
+        # argmax resolve (kernels/resolve.py), which never materializes
+        # the (B, M, H, W) tensor. "full" keeps the legacy contract (the
+        # training loss and the per-frame paths consume full-res logits).
+        out_hw = (mask_hw(self.config)
+                  if self.config.model.logits_res == "mask"
+                  else self.config.model.image_size)
         logits, dec_state = self.decoder(feats, agg, state.decoder_state,
-                                         out_hw=self.config.model.image_size)
+                                         out_hw=out_hw)
         logits = jnp.where(tmpl_valid[..., None, None], logits, -1e4)
         out = FrameOutput(logits=logits, assignment=X, agg_masks=agg)
         if self.config.model.template_update == "aggregation":

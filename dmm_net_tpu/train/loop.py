@@ -156,6 +156,12 @@ def _clip_forward(model: DMMNet, variables, batch, cfg: Config):
           jnp.arange(T, dtype=jnp.int32))
     (_, _, bs_out), logits_t = jax.lax.scan(step, (state0, tf0, bs0), xs)
     logits = jnp.moveaxis(logits_t, 0, 1)                 # (B, T, M, H, W)
+    if logits.shape[-2:] != tuple(cfg.model.image_size):
+        # logits_res="mask" (inference-oriented preset used for training):
+        # upsample to image resolution so the loss semantics are unchanged
+        logits = jax.image.resize(
+            logits, logits.shape[:-2] + tuple(cfg.model.image_size),
+            method="bilinear")
     loss_valid = batch.get("gt_valid", tmpl_valid)
     loss = clip_loss(logits, batch["gt_masks"], loss_valid,
                      bce_weight=cfg.train.loss_bce_weight,

@@ -78,6 +78,7 @@ def main():
         from dmm_net_tpu.data.davis import DavisDataset
         ds = DavisDataset(cfg.data.root, split="train",
                           image_size=cfg.model.image_size,
+                          proposal_dir=cfg.data.proposal_dir or None,
                           max_objects=cfg.matching.max_templates,
                           max_proposals=cfg.matching.max_proposals)
         if not ds.sequences:
@@ -94,6 +95,7 @@ def main():
         from dmm_net_tpu.data.ytvos import YTVOSDataset
         ds = YTVOSDataset(cfg.data.root, split="train",
                           image_size=cfg.model.image_size,
+                          proposal_dir=cfg.data.proposal_dir or None,
                           max_objects=cfg.matching.max_templates,
                           max_proposals=cfg.matching.max_proposals)
         if not ds.videos:
