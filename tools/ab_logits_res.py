@@ -77,11 +77,15 @@ def main():
             for i in range(2):
                 gt[seq["gt_masks"][:, i] > 0.5] = i + 1
             jfs.append(evaluate_sequence(gt, labels)["J&F"])
-        return float(np.mean(jfs))
+        return jfs
 
-    for lr in ("full", "mask"):
-        print(f"logits_res={lr:4s}  held-out J&F = {score(lr):.4f}  "
+    per = {lr: score(lr) for lr in ("full", "mask")}
+    for lr, jfs in per.items():
+        print(f"logits_res={lr:4s}  held-out J&F = {float(np.mean(jfs)):.4f}  "
+              f"per-seq {[round(x, 4) for x in jfs]}  "
               f"(backend={jax.default_backend()})")
+    d = [m - f for f, m in zip(per["full"], per["mask"])]
+    print(f"per-seq delta (mask - full): {[round(x, 4) for x in d]}")
 
 
 if __name__ == "__main__":
