@@ -69,7 +69,11 @@ def main():
     from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 
     mode = os.environ.get("BENCH_MODE", "chunked_scan")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    # Default B=16: offline eval batches many sequences per chip (DAVIS
+    # val alone has 30); 16 is the measured throughput knee on the v5e —
+    # B=8 gives ~95% of it (BENCH_BATCH=8 to reproduce), B=32's scan
+    # takes >10 min to compile through the tunnel.
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     K = int(os.environ.get("BENCH_CHUNK", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     cfg = preset("p3_multi_object")

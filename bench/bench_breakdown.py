@@ -40,14 +40,20 @@ def main():
     H, W = cfg.model.image_size
     M, N = cfg.matching.max_templates, cfg.matching.max_proposals
     model = DMMNet(cfg)
-    rng = np.random.RandomState(0)
-    frame = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-    pm = jnp.asarray(rng.rand(B, N, H, W) > 0.8, jnp.float32)
+    # Inputs are generated ON DEVICE: the full-res proposal tensor alone
+    # is ~470 MB at these shapes, and the tunnel's 1-2 MB/s H2D turns a
+    # host-numpy version into minutes of upload before the first print.
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
+    pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
+                 .astype(jnp.float32))(ks[1])
     pv = jnp.ones((B, N), bool)
-    tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
+    tf_ = jax.jit(lambda k: jax.random.normal(
+        k, (B, M, cfg.model.feature_dim)))(ks[2])
     tv = jnp.ones((B, M), bool)
     state = init_frame_state(
-        cfg, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
+        cfg, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
+                     .astype(jnp.float32))(ks[3]))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
 
@@ -88,28 +94,43 @@ def main():
     for name, fn in [("backbone+proj", backbone), ("(+)pool/cost/match", match),
                      ("(+)aggregate", agg), ("(+)decoder", decoder),
                      ("(+)resolve = FULL", full)]:
-        jfn = jax.jit(fn)
+        # Repeat the prefix INSIDE one jit (scan over perturbed inputs):
+        # per-dispatch timing is hopeless on the tunnel backend — dispatch
+        # overhead swings 0.5-9 ms between sessions and adds to EVERY
+        # call (r3 measured the resolve delta at 0.35 ms in-jit while
+        # per-dispatch runs said 3-6 ms). The perturbation makes every
+        # matcher input iteration-variant so XLA can't hoist stage work.
+        def rep(frame, pm, pv, tf_, tv, state, fn=fn):
+            def body(c, i):
+                e = 1e-6 * i
+                out = fn(frame + e, pm * (1.0 + e), pv, tf_ + e, tv, state)
+                leaves = jax.tree_util.tree_leaves(out)
+                return c + leaves[0].ravel()[0].astype(jnp.float32), 0
+            tot, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return tot
 
-        def sync(o):
-            # D2H of one small leaf: the only reliable completion barrier
-            # on the tunnel backend (block_until_ready can return early —
-            # ROUND_NOTES r2 / memory "axon-tpu-tunnel-caveats")
-            return np.asarray(jax.tree_util.tree_leaves(o)[0])
-
-        out = jfn(*args)
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jfn(*args)
-        sync(out)
-        dt = (time.perf_counter() - t0) / iters * 1e3
-        c = jfn.lower(*args).compile().cost_analysis()
+        jrep = jax.jit(rep)
+        r = jrep(*args)
+        np.asarray(r)   # D2H barrier: block_until_ready can return early
+                        # on the tunnel (memory "axon-tpu-tunnel-caveats")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jrep(*args))
+            dt = min(dt, (time.perf_counter() - t0) / iters * 1e3)
+        # FLOPs/bytes from a single-shot compile: XLA's cost analysis
+        # reports a scan body once, not trip_count times, so the scan
+        # executable can't provide per-call numbers. (The extra compile
+        # is cached across sessions.)
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(c, list):
             c = c[0]
         fl = float(c.get("flops", 0)) / 1e9
         by = float(c.get("bytes accessed", 0)) / 1e6
         d_dt, d_fl, d_by = dt - prev[0], fl - prev[1], by - prev[2]
-        eff = d_by / max(d_dt, 1e-9)             # MB/ms == GB/s
+        eff = d_by / max(d_dt, 0.05)   # MB/ms == GB/s; clamp: deltas
+                                       # under 50us are timing noise
         print(f"{name:20s} {dt:8.3f} ms  (delta {d_dt:7.3f} ms, "
               f"{d_fl:7.2f} GF, {d_by:8.1f} MB, "
               f"{eff:6.0f} GB/s eff = {100 * eff / 819:3.0f}% of v5e HBM)")
