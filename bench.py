@@ -82,15 +82,21 @@ def main():
     model = DMMNet(cfg)
     rng = np.random.RandomState(0)
 
-    # representative single-frame arrays (also used by the parity check)
-    frame = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-    pm = jnp.asarray(rng.rand(B, N, H, W) > 0.8, jnp.float32)
+    # representative single-frame arrays (also used by the parity check),
+    # generated ON DEVICE: the full-res proposal tensor alone is ~940 MB
+    # at B=16 and the tunnel H2D can drop to 1-2 MB/s
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
+    pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
+                 .astype(jnp.float32))(ks[1])
     pv = jnp.ones((B, N), bool)
-    tf_ = jnp.asarray(rng.randn(B, M, cfg.model.feature_dim), jnp.float32)
+    tf_ = jax.jit(lambda k: jax.random.normal(
+        k, (B, M, cfg.model.feature_dim)))(ks[2])
     tv = jnp.ones((B, M), bool)
     # init_frame_state owns the carried grid/dtype (mask_res / mask_dtype)
     state = init_frame_state(
-        cfg, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
+        cfg, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
+                     .astype(jnp.float32))(ks[3]))
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
 

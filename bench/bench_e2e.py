@@ -46,16 +46,22 @@ def main():
     rng = np.random.RandomState(0)
     variables = None
     for B in args.batches:
-        frame = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-        pm = jnp.asarray(rng.rand(B, N, H, W) > 0.8, jnp.float32)
+        # on-device input generation: full-res proposal tensors are
+        # hundreds of MB and tunnel H2D can drop to 1-2 MB/s
+        ks = jax.random.split(jax.random.PRNGKey(B), 4)
+        frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
+        pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
+                     .astype(jnp.float32))(ks[1])
         pv = jnp.ones((B, N), bool)
-        tf_ = jnp.asarray(rng.randn(B, M, base.model.feature_dim), jnp.float32)
+        tf_ = jax.jit(lambda k: jax.random.normal(
+            k, (B, M, base.model.feature_dim)))(ks[2])
         tv = jnp.ones((B, M), bool)
         # init_frame_state owns the carried grid/dtype (mask_res /
         # mask_dtype): a hand-built full-res f32 state would differ from
         # the state the step returns and recompile inside the timed loop
         st = init_frame_state(
-            base, jnp.asarray(rng.rand(B, M, H, W) > 0.8, jnp.float32))
+            base, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
+                          .astype(jnp.float32))(ks[3]))
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), frame, pm, pv,
                                    tf_, tv, st)
