@@ -10,8 +10,10 @@ If no proposal cache exists, proposals are synthesized from the GT
 annotations (jittered + decoys) so the full pipeline runs on raw DAVIS —
 useful until the Mask R-CNN proposal stage lands.
 
-All decode is host-side numpy/PIL (this feeds data/pipeline.Prefetcher);
-outputs use the batch layout of train/loop.py.
+All decode is host-side (this feeds data/pipeline.Prefetcher), through
+the native C++ loader (native/loader, GIL-free libjpeg/libpng + resize)
+when built, with PIL as the transparent fallback — see
+data/native_loader.py. Outputs use the batch layout of train/loop.py.
 """
 
 from __future__ import annotations
@@ -72,13 +74,13 @@ class DavisDataset:
                 if f.endswith(".png")]
 
     def load_frame(self, path: str) -> np.ndarray:
-        img = _imread(path)
-        return _resize_image(img, self.image_size).astype(np.uint8)
+        from dmm_net_tpu.data import native_loader
+        return native_loader.load_rgb_batch([path], self.image_size)[0]
 
     def load_annotation(self, path: str) -> np.ndarray:
         """Palette-indexed label map, nearest-resized to image_size."""
-        return _resize_image(self.load_annotation_native(path),
-                             self.image_size, nearest=True)
+        from dmm_net_tpu.data import native_loader
+        return native_loader.load_label_batch([path], self.image_size)[0]
 
     def load_annotation_native(self, path: str) -> np.ndarray:
         """Palette-indexed label map at the annotation's NATIVE resolution.
@@ -86,7 +88,8 @@ class DavisDataset:
         The official DAVIS protocol (SURVEY.md §4.5, davis2017-evaluation)
         scores at the annotation's native 480p — predictions must be
         upsampled to this, never the GT downsampled to model resolution."""
-        ann = _imread(path)
+        from dmm_net_tpu.data import native_loader
+        ann = native_loader.load_label_native_size(path)
         if ann.ndim == 3:
             ann = ann[..., 0]
         return ann

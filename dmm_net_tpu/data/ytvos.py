@@ -67,13 +67,12 @@ class YTVOSDataset:
                 for f in sorted(os.listdir(d)) if f.endswith(".png")}
 
     def load_frame(self, path: str) -> np.ndarray:
-        return _resize_image(_imread(path), self.image_size).astype(np.uint8)
+        from dmm_net_tpu.data import native_loader
+        return native_loader.load_rgb_batch([path], self.image_size)[0]
 
     def load_annotation(self, path: str) -> np.ndarray:
-        ann = _imread(path)
-        if ann.ndim == 3:
-            ann = ann[..., 0]
-        return _resize_image(ann, self.image_size, nearest=True)
+        from dmm_net_tpu.data import native_loader
+        return native_loader.load_label_batch([path], self.image_size)[0]
 
     # ------------------------------------------------------------------
     def object_first_frames(self, vid: str) -> Dict[int, str]:

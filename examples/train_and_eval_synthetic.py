@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--width", type=int, default=0,
                     help="image width (0 = square --size x --size)")
     ap.add_argument("--eval-frames", type=int, default=6)
+    ap.add_argument("--objects", type=int, default=2,
+                    help="objects per synthetic video (train AND eval); "
+                    "raise with matching.max_templates for the multi-"
+                    "object W3 regime")
     ap.add_argument("--decoder-variant", default="shared",
                     choices=["shared", "legacy"])
     ap.add_argument("--obj-dim", type=int, default=16)
@@ -97,7 +101,7 @@ def main():
     def make_batch(seed):
         return {k: jnp.asarray(v) for k, v in synthetic_clip_batch(
             seed=seed, batch=cfg.data.batch_size, T=cfg.data.clip_length,
-            H=S, W=SW, num_objects=2,
+            H=S, W=SW, num_objects=args.objects,
             num_proposals=cfg.matching.max_proposals,
             pad_objects=cfg.matching.max_templates).items()}
 
@@ -168,7 +172,7 @@ def main():
     engine = InferenceEngine(cfg, model=model, variables=variables,
                              update_templates=True)
     seq = synthetic_sequence(seed=999, T=args.eval_frames, H=S, W=SW,
-                             num_objects=2,
+                             num_objects=args.objects,
                              num_proposals=cfg.matching.max_proposals)
     M = cfg.matching.max_templates
 
@@ -190,7 +194,7 @@ def main():
                               seq["frames"][0][None])
     labels = res["labels"][:, 0]
     gt_labels = np.zeros_like(labels)
-    for i in range(2):
+    for i in range(args.objects):
         gt_labels[seq["gt_masks"][:, i] > 0.5] = i + 1
     r = evaluate_sequence(gt_labels, labels)
     print(f"decoder (trained {args.steps} steps) J&F = {r['J&F']:.3f} "

@@ -23,7 +23,18 @@ def build_rle(debug: bool = False) -> Path:
     return out
 
 
+def build_loader(debug: bool = False) -> Path:
+    src = ROOT / "loader" / "imgloader.cpp"
+    out = ROOT / "loader" / "libimgloader.so"
+    flags = ["-O0", "-g"] if debug else ["-O3", "-march=native"]
+    cmd = ["g++", "-std=c++17", "-shared", "-fPIC", *flags,
+           str(src), "-o", str(out), "-ljpeg", "-lpng", "-lpthread"]
+    print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return out
+
+
 if __name__ == "__main__":
     debug = "--debug" in sys.argv
-    so = build_rle(debug)
-    print(f"built {so}")
+    for so in (build_rle(debug), build_loader(debug)):
+        print(f"built {so}")
