@@ -28,7 +28,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from dmm_net_tpu.data.davis import _imread, _resize_image
+from dmm_net_tpu.data.davis import _resize_image
 
 
 class YTVOSDataset:
