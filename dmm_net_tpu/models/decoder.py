@@ -137,6 +137,85 @@ class RefinementDecoder(nn.Module):
         return logits.reshape(B, M, H, W), new_state
 
 
+class _SplitConcatConv(nn.Module):
+    """3x3 conv over ``concat(parts)`` where some parts are frame-shared.
+
+    The per-object path concatenates per-object maps (batch B*M) with
+    frame-shared maps broadcast to every object slot (``fold(proj[level])``
+    in the naive formulation). Convolution is linear in the input channels,
+    so ``conv(concat([x, q, m])) == conv_x(x) + conv_q(q) + conv_m(m) + b``
+    with kernel slices — and the frame-shared slice can run at batch B
+    instead of B*M, then broadcast-add into the object grid. At M=16 that
+    removes (M-1)/M of the shared-slice FLOPs (~16 GF/frame-batch at the
+    p3 c2 level) AND never materializes the (B*M, h, w, g) broadcast input
+    in HBM (the step is bandwidth-bound; see ROUND_NOTES r3 decoder audit).
+
+    The parameter tree (``kernel`` (kh, kw, sum_cin, features) + ``bias``)
+    is exactly ``nn.Conv(features, kernel)`` over the concatenation — init
+    distribution included (lecun_normal over the FULL fan-in) — so shipped
+    checkpoints trained with the concat formulation load unchanged. Each
+    partial conv accumulates in f32 on the MXU and rounds to ``dtype``, so
+    the split equals the concat conv up to float summation order (tested in
+    tests/test_decoder.py::test_split_concat_conv_matches_naive).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
+    split: bool = True     # False = naive concat conv (test/debug reference)
+
+    @nn.compact
+    def __call__(self, parts, B: int, M: int):
+        """parts: ordered [(array, is_shared)] — per-object arrays are
+        (B*M, h, w, c), frame-shared arrays are (B, h, w, c); channel
+        order defines the kernel slice layout (must match the naive
+        concat order)."""
+        kh, kw = self.kernel
+        cin = sum(int(p.shape[-1]) for p, _ in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+
+        def part_conv(p, k):
+            # partial outputs stay at the decoder dtype (bf16 in production)
+            # so the split adds no HBM traffic over the concat conv; the MXU
+            # still accumulates each partial in f32 internally
+            return jax.lax.conv_general_dilated(
+                p.astype(self.dtype), k.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(self.dtype)
+
+        bias = bias.astype(self.dtype)
+        if not self.split:
+            def unfold(p, shared):   # broadcast shared maps over objects
+                if not shared:
+                    return p
+                p = jnp.broadcast_to(p[:, None], (B, M) + p.shape[1:])
+                return p.reshape((B * M,) + p.shape[2:])
+            full = jnp.concatenate([unfold(p, sh) for p, sh in parts], axis=-1)
+            return part_conv(full, kernel) + bias
+
+        obj_acc, shared_acc, off = None, None, 0
+        for p, shared in parts:
+            k = kernel[:, :, off:off + p.shape[-1], :]
+            off += p.shape[-1]
+            y = part_conv(p, k)
+            if shared:
+                shared_acc = y if shared_acc is None else shared_acc + y
+            else:
+                obj_acc = y if obj_acc is None else obj_acc + y
+        if obj_acc is None:
+            out = jnp.broadcast_to((shared_acc + bias)[:, None],
+                                   (B, M) + shared_acc.shape[1:])
+            return out.reshape((B * M,) + shared_acc.shape[1:])
+        hw_c = obj_acc.shape[1:]
+        out = obj_acc.reshape((B, M) + hw_c)
+        if shared_acc is not None:
+            out = out + shared_acc[:, None]
+        return (out + bias).reshape((B * M,) + hw_c)
+
+
 class SharedFPNDecoder(nn.Module):
     """Object-proportional refinement decoder (the production variant).
 
@@ -196,15 +275,15 @@ class SharedFPNDecoder(nn.Module):
         proj = {k: conv(g, 1, f"toobj_{k}")(v) for k, v in shared.items()}
 
         # ---- per-object path: batch B*M at g channels ----------------
-        def fold(x):          # (B, h, w, c) -> (B*M, h, w, c)
-            x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
-            return x.reshape((B * M,) + x.shape[2:])
-
+        # Frame-shared projections enter per-object convs through
+        # _SplitConcatConv: the shared kernel slice runs at batch B and is
+        # broadcast-added, so proj[level] is never folded to (B*M, ...) —
+        # checkpoint-compatible with the naive concat formulation.
         mask_bm = agg_masks.reshape(B * M, mh, mw, 1).astype(self.dtype)
         h32 = proj["c5"].shape[-3:-1]
         m32 = _resize(mask_bm, h32)
-        x = nn.relu(conv(g, 3, "obj_head")(
-            jnp.concatenate([fold(proj["c5"]), m32], axis=-1)))
+        x = nn.relu(_SplitConcatConv(g, dtype=self.dtype, name="obj_head")(
+            [(proj["c5"], True), (m32, False)], B, M))
 
         if self.recurrent:
             if state is None:
@@ -216,12 +295,13 @@ class SharedFPNDecoder(nn.Module):
             new_state = jnp.zeros((B, M) + h32 + (g,), jnp.float32)
 
         for level in levels:
-            q = fold(proj[level])
-            hw = q.shape[-3:-1]
+            hw = proj[level].shape[-3:-1]
             x = _resize(x, hw)
             m_lvl = _resize(mask_bm, hw)
-            x = nn.relu(conv(g, 3, f"obj_merge_{level}")(
-                jnp.concatenate([x, q, m_lvl], axis=-1)))
+            x = nn.relu(
+                _SplitConcatConv(g, dtype=self.dtype,
+                                 name=f"obj_merge_{level}")(
+                    [(x, False), (proj[level], True), (m_lvl, False)], B, M))
             x = x + nn.relu(conv(g, 3, f"obj_fuse_{level}")(x))
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,

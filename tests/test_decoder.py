@@ -72,6 +72,57 @@ def test_decoder_object_slots_independent(variant):
     assert not np.allclose(np.asarray(base[:, 2]), np.asarray(out[:, 2]))
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_split_concat_conv_matches_naive(dtype):
+    """_SplitConcatConv's split formulation (shared slices convolved at
+    batch B, broadcast-added) must equal the naive concat conv with the
+    SAME parameters — the split is algebra, not a new layer, so shipped
+    checkpoints stay valid."""
+    from dmm_net_tpu.models.decoder import _SplitConcatConv
+    rng = np.random.RandomState(0)
+    B, M, h, w = 2, 4, 6, 10
+    x = jnp.asarray(rng.randn(B * M, h, w, 8), jnp.float32)
+    q = jnp.asarray(rng.randn(B, h, w, 8), jnp.float32)       # frame-shared
+    m = jnp.asarray(rng.rand(B * M, h, w, 1), jnp.float32)
+    parts = [(x, False), (q, True), (m, False)]
+
+    split = _SplitConcatConv(12, dtype=dtype, split=True)
+    naive = _SplitConcatConv(12, dtype=dtype, split=False)
+    vars_ = split.init(jax.random.PRNGKey(3), parts, B, M)
+    assert vars_["params"]["kernel"].shape == (3, 3, 17, 12)  # nn.Conv layout
+    a = np.asarray(split.apply(vars_, parts, B, M), np.float32)
+    b = np.asarray(naive.apply(vars_, parts, B, M), np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+
+    # shared-only input (the obj_head case with no live per-object conv
+    # except the mask channel): still well-formed and B*M-shaped
+    parts2 = [(q, True), (m, False)]
+    vars2 = split.init(jax.random.PRNGKey(4), parts2, B, M)
+    a2 = np.asarray(split.apply(vars2, parts2, B, M), np.float32)
+    b2 = np.asarray(naive.apply(vars2, parts2, B, M), np.float32)
+    assert a2.shape == (B * M, h, w, 12)
+    np.testing.assert_allclose(a2, b2, rtol=tol, atol=tol)
+
+
+def test_split_conv_cuts_shared_slice_flops():
+    """The split's reason to exist: per-object merge convs no longer pay
+    M x for the frame-shared slice, so SharedFPNDecoder FLOPs drop
+    measurably at padded M (exact transform — see matching test above)."""
+    B, M, H, W = 1, 8, 64, 64
+    feats = _pyramid(B, H, W)
+    agg = jnp.asarray(np.random.RandomState(0).rand(B, M, H, W), jnp.float32)
+    dec = SharedFPNDecoder(features=32, obj_features=8)
+    vars_ = dec.init(jax.random.PRNGKey(0), feats, agg, None)
+    fn = jax.jit(lambda f, a: dec.apply(vars_, f, a, None))
+    cost = fn.lower(feats, agg).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    # Regression bound: with the naive concat formulation this decoder
+    # measured ~2.6 GF at these shapes; the split lands well under it.
+    assert cost["flops"] < 2.3e9, cost["flops"]
+
+
 def test_shared_variant_flops_fraction_of_legacy():
     """The restructure's reason to exist: at M=8 padded slots the shared
     variant must compile to well under half the legacy FLOPs (VERDICT r1
