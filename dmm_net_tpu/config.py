@@ -101,6 +101,13 @@ class ModelConfig:
     # broadcast per object slot).
     decoder_variant: str = "shared"
     decoder_obj_dim: int = 32      # per-object path width ("shared" variant)
+    # Per-object path A/B knobs ("shared" variant; ROUND_NOTES r3 decoder
+    # audit — the finest-level 3x3 convs dominate decoder FLOPs):
+    # obj_fuse "conv3" (shipped) | "conv1" | "none" picks the residual fuse
+    # conv; obj_dim_fine 0 = decoder_obj_dim, else tapers the per-object
+    # width at the finest level only. Defaults = shipped architecture.
+    decoder_obj_fuse: str = "conv3"
+    decoder_obj_dim_fine: int = 0
     # Source of next-frame template masks for the cost IoU term:
     # "decoder" (refined prediction, the reference's behavior) or
     # "aggregation" (matcher-aggregated proposals — robust without trained

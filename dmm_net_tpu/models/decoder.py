@@ -243,6 +243,14 @@ class SharedFPNDecoder(nn.Module):
     recurrent: bool = True
     dtype: Any = jnp.float32
     fine_level: str = "c2"
+    # Per-object path architecture knobs (A/B levers for the decoder-
+    # dominated step; ROUND_NOTES r3 FLOP audit: the two 3x3 convs at the
+    # finest level are ~75% of the per-object FLOPs and run at 32-65
+    # channels, i.e. fractional MXU lane utilization). Defaults reproduce
+    # the shipped architecture exactly (checkpoint-compatible).
+    obj_fuse: str = "conv3"    # "conv3" (shipped) | "conv1" | "none"
+    obj_features_fine: int = 0  # 0 = obj_features; else per-object width
+    #                             at the finest level only (taper)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
@@ -295,14 +303,22 @@ class SharedFPNDecoder(nn.Module):
             new_state = jnp.zeros((B, M) + h32 + (g,), jnp.float32)
 
         for level in levels:
+            g_l = g
+            if level == levels[-1] and self.obj_features_fine:
+                g_l = self.obj_features_fine
             hw = proj[level].shape[-3:-1]
             x = _resize(x, hw)
             m_lvl = _resize(mask_bm, hw)
             x = nn.relu(
-                _SplitConcatConv(g, dtype=self.dtype,
+                _SplitConcatConv(g_l, dtype=self.dtype,
                                  name=f"obj_merge_{level}")(
                     [(x, False), (proj[level], True), (m_lvl, False)], B, M))
-            x = x + nn.relu(conv(g, 3, f"obj_fuse_{level}")(x))
+            if self.obj_fuse == "conv3":
+                x = x + nn.relu(conv(g_l, 3, f"obj_fuse_{level}")(x))
+            elif self.obj_fuse == "conv1":
+                x = x + nn.relu(conv(g_l, 1, f"obj_fuse_{level}")(x))
+            elif self.obj_fuse != "none":
+                raise ValueError(f"unknown obj_fuse {self.obj_fuse!r}")
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
                          name="out")(x)                       # (B*M, H/4, W/4, 1)

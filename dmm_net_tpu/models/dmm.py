@@ -71,6 +71,8 @@ class DMMNet(nn.Module):
             self.decoder = SharedFPNDecoder(
                 features=cfg.model.decoder_dim,
                 obj_features=cfg.model.decoder_obj_dim,
+                obj_fuse=cfg.model.decoder_obj_fuse,
+                obj_features_fine=cfg.model.decoder_obj_dim_fine,
                 recurrent=cfg.model.decoder_recurrent,
                 dtype=dec_dtype,
                 fine_level=cfg.model.decoder_fine_level)

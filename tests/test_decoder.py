@@ -142,3 +142,38 @@ def test_shared_variant_flops_fraction_of_legacy():
     legacy = flops(RefinementDecoder(features=32))
     shared = flops(SharedFPNDecoder(features=32, obj_features=8))
     assert shared < 0.5 * legacy, (shared, legacy)
+
+
+@pytest.mark.parametrize("fuse,g_fine", [("conv1", 0), ("none", 0),
+                                         ("conv3", 4), ("none", 4)])
+def test_obj_path_ab_variants(fuse, g_fine):
+    """The per-object A/B knobs (obj_fuse, obj_features_fine) must produce
+    well-formed outputs and strictly fewer FLOPs than the shipped
+    architecture (they exist to attack the decoder-dominated step)."""
+    B, M, H, W = 1, 8, 64, 64
+    feats = _pyramid(B, H, W)
+    agg = jnp.asarray(np.random.RandomState(0).rand(B, M, H, W), jnp.float32)
+
+    def flops(dec):
+        vars_ = dec.init(jax.random.PRNGKey(0), feats, agg, None)
+        fn = jax.jit(lambda f, a: dec.apply(vars_, f, a, None))
+        cost = fn.lower(feats, agg).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        out, _ = fn(feats, agg)
+        assert out.shape == (B, M, H, W)
+        assert np.isfinite(np.asarray(out)).all()
+        return cost["flops"]
+
+    base = flops(SharedFPNDecoder(features=32, obj_features=8))
+    ab = flops(SharedFPNDecoder(features=32, obj_features=8,
+                                obj_fuse=fuse, obj_features_fine=g_fine))
+    assert ab < base, (fuse, g_fine, ab, base)
+
+
+def test_obj_fuse_unknown_rejected():
+    feats = _pyramid(1, 32, 32)
+    agg = jnp.zeros((1, 2, 32, 32), jnp.float32)
+    dec = SharedFPNDecoder(features=16, obj_features=8, obj_fuse="bogus")
+    with pytest.raises(ValueError, match="obj_fuse"):
+        dec.init(jax.random.PRNGKey(0), feats, agg, None)
