@@ -77,6 +77,16 @@ def main():
     K = int(os.environ.get("BENCH_CHUNK", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     cfg = preset("p3_multi_object")
+    # BENCH_SET="model.decoder_obj_fuse=none model.decoder_obj_dim_fine=16"
+    # applies dot-overrides (space/;-separated, values coerced like --set)
+    # to the pinned preset — for A/B measurements of config knobs through
+    # the exact production dispatch (the overrides are echoed in the JSON
+    # so a modified run can't masquerade as headline).
+    overrides = os.environ.get("BENCH_SET", "")
+    if overrides:
+        from dmm_net_tpu.utils.cli import parse_overrides
+        cfg = cfg.override(
+            **parse_overrides(overrides.replace(";", " ").split()))
     H, W = cfg.model.image_size
     M, N = cfg.matching.max_templates, cfg.matching.max_proposals
     model = DMMNet(cfg)
@@ -225,6 +235,7 @@ def main():
         "mb_per_frame": None if mb_per_frame is None
         else round(mb_per_frame, 1),
         "hbm_roofline_pct": None if hbm_pct is None else round(hbm_pct, 2),
+        **({"overrides": overrides} if overrides else {}),
     }))
 
 

@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per step (vmapped detection losses)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard the batch over all devices' mesh 'data' "
+                    "axis (the reference trains its detector with NCCL "
+                    "DDP, SURVEY.md §3.3; here XLA SPMD emits the "
+                    "gradient all-reduce)")
     ap.add_argument("--image-size", type=int, nargs=2, default=(128, 128))
     ap.add_argument("--backbone", default="resnet18")
     ap.add_argument("--num-classes", type=int, default=3)
@@ -62,8 +69,6 @@ def main():
 
     from dmm_net_tpu.data.synthetic import (synthetic_detection_frame,
                                             synthetic_sequence)
-    from dmm_net_tpu.models.proposal.losses import (
-        assign_proposals, box_head_loss, mask_head_loss, rpn_loss)
     from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN
     from dmm_net_tpu.utils.logging import MetricsWriter, get_logger
 
@@ -120,37 +125,38 @@ def main():
     tx = optax.adamw(args.lr, weight_decay=1e-5)
     opt_state = tx.init(params)
 
-    def loss_fn(params, img, gt_boxes, gt_labels, gt_valid, gt_masks):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          img, method=MaskRCNN.train_forward)
-        l_rpn = rpn_loss(out["rpn_objectness"], out["rpn_deltas"],
-                         out["anchors"], gt_boxes, gt_valid)
-        l_box = box_head_loss(out["cls_scores"], out["box_deltas"],
-                              out["proposals"], out["prop_valid"],
-                              gt_boxes, gt_labels, gt_valid)
-        cls_t, matched = assign_proposals(out["proposals"], out["prop_valid"],
-                                          gt_boxes, gt_labels, gt_valid)
-        l_mask = mask_head_loss(out["mask_logits"], out["proposals"],
-                                cls_t, matched, gt_masks)
-        total = (l_rpn["rpn_cls"] + l_rpn["rpn_reg"] +
-                 l_box["box_cls"] + l_box["box_reg"] + l_mask)
-        return total, {**l_rpn, **l_box, "mask": l_mask}
+    from dmm_net_tpu.train.proposal_loop import make_proposal_train_step
 
-    @jax.jit
-    def step(params, opt_state, img, gb, gl, gv, gm):
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, img, gb, gl, gv, gm)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, parts
+    mesh = None
+    if args.data_parallel:
+        from dmm_net_tpu.parallel.mesh import make_mesh, shard_batch
+        mesh = make_mesh()
+        assert args.batch % mesh.shape["data"] == 0, (
+            f"--batch {args.batch} must divide over {mesh.shape['data']} "
+            "data-parallel devices")
+        log.info("data-parallel mesh: %s", dict(mesh.shape))
+    step = make_proposal_train_step(model, tx, batch_stats, mesh=mesh)
 
     writer = MetricsWriter(args.logdir)
-    frames = [tuple(jnp.asarray(x) for x in sample(s))
-              for s in range(args.distinct_frames)]
+    B = args.batch
+
+    def make_train_batch(bi):
+        rows = [sample(bi * B + j) for j in range(B)]
+        batch = {"images": np.concatenate([r[0] for r in rows], 0),
+                 "boxes": np.stack([r[1] for r in rows]),
+                 "labels": np.stack([r[2] for r in rows]),
+                 "valid": np.stack([r[3] for r in rows]),
+                 "masks": np.stack([r[4] for r in rows])}
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    n_batches = max(args.distinct_frames // B, 1)
+    batches = [make_train_batch(bi) for bi in range(n_batches)]
     t0 = time.time()
     for i in range(args.steps):
-        img, gb, gl, gv, gm = frames[i % args.distinct_frames]
-        params, opt_state, loss, parts = step(params, opt_state, img, gb,
-                                              gl, gv, gm)
+        params, opt_state, loss, parts = step(params, opt_state,
+                                              batches[i % n_batches])
         if i == 0:
             log.info("first step (compile): %.1fs", time.time() - t0)
         if (i + 1) % 10 == 0 or i == 0:
