@@ -66,7 +66,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import InferenceEngine, resolve_labels
-    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
+    from dmm_net_tpu.models.dmm import DMMNet
 
     mode = os.environ.get("BENCH_MODE", "chunked_scan")
     # Default B=16: offline eval batches many sequences per chip (DAVIS
@@ -93,20 +93,9 @@ def main():
     rng = np.random.RandomState(0)
 
     # representative single-frame arrays (also used by the parity check),
-    # generated ON DEVICE: the full-res proposal tensor alone is ~940 MB
-    # at B=16 and the tunnel H2D can drop to 1-2 MB/s
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
-    pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
-                 .astype(jnp.float32))(ks[1])
-    pv = jnp.ones((B, N), bool)
-    tf_ = jax.jit(lambda k: jax.random.normal(
-        k, (B, M, cfg.model.feature_dim)))(ks[2])
-    tv = jnp.ones((B, M), bool)
-    # init_frame_state owns the carried grid/dtype (mask_res / mask_dtype)
-    state = init_frame_state(
-        cfg, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
-                     .astype(jnp.float32))(ks[3]))
+    # generated ON DEVICE (utils/bench_inputs.py; shared across all benches)
+    from dmm_net_tpu.utils.bench_inputs import make_frame_inputs
+    frame, pm, pv, tf_, tv, state = make_frame_inputs(cfg, B)
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
 

@@ -31,8 +31,7 @@ def main():
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_labels
-    from dmm_net_tpu.models.dmm import (DMMNet, _to_mask_grid,
-                                        init_frame_state, mask_hw)
+    from dmm_net_tpu.models.dmm import DMMNet, _to_mask_grid, mask_hw
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
@@ -40,20 +39,9 @@ def main():
     H, W = cfg.model.image_size
     M, N = cfg.matching.max_templates, cfg.matching.max_proposals
     model = DMMNet(cfg)
-    # Inputs are generated ON DEVICE: the full-res proposal tensor alone
-    # is ~470 MB at these shapes, and the tunnel's 1-2 MB/s H2D turns a
-    # host-numpy version into minutes of upload before the first print.
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
-    pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
-                 .astype(jnp.float32))(ks[1])
-    pv = jnp.ones((B, N), bool)
-    tf_ = jax.jit(lambda k: jax.random.normal(
-        k, (B, M, cfg.model.feature_dim)))(ks[2])
-    tv = jnp.ones((B, M), bool)
-    state = init_frame_state(
-        cfg, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
-                     .astype(jnp.float32))(ks[3]))
+    # inputs generated ON DEVICE (utils/bench_inputs.py; shared across benches)
+    from dmm_net_tpu.utils.bench_inputs import make_frame_inputs
+    frame, pm, pv, tf_, tv, state = make_frame_inputs(cfg, B)
     variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
                            state)
 

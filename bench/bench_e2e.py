@@ -25,12 +25,10 @@ def main():
 
     import dataclasses
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from dmm_net_tpu.config import preset
     from dmm_net_tpu.infer.engine import resolve_labels
-    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
+    from dmm_net_tpu.models.dmm import DMMNet
 
     base = preset("p3_multi_object")
     if args.pallas:
@@ -43,25 +41,11 @@ def main():
           f"pallas={base.matching.use_pallas}")
 
     model = DMMNet(base)
-    rng = np.random.RandomState(0)
     variables = None
     for B in args.batches:
-        # on-device input generation: full-res proposal tensors are
-        # hundreds of MB and tunnel H2D can drop to 1-2 MB/s
-        ks = jax.random.split(jax.random.PRNGKey(B), 4)
-        frame = jax.jit(lambda k: jax.random.uniform(k, (B, H, W, 3)))(ks[0])
-        pm = jax.jit(lambda k: (jax.random.uniform(k, (B, N, H, W)) > 0.8)
-                     .astype(jnp.float32))(ks[1])
-        pv = jnp.ones((B, N), bool)
-        tf_ = jax.jit(lambda k: jax.random.normal(
-            k, (B, M, base.model.feature_dim)))(ks[2])
-        tv = jnp.ones((B, M), bool)
-        # init_frame_state owns the carried grid/dtype (mask_res /
-        # mask_dtype): a hand-built full-res f32 state would differ from
-        # the state the step returns and recompile inside the timed loop
-        st = init_frame_state(
-            base, jax.jit(lambda k: (jax.random.uniform(k, (B, M, H, W)) > 0.8)
-                          .astype(jnp.float32))(ks[3]))
+        # on-device input generation (utils/bench_inputs.py; shared across benches)
+        from dmm_net_tpu.utils.bench_inputs import make_frame_inputs
+        frame, pm, pv, tf_, tv, st = make_frame_inputs(base, B, seed=B)
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), frame, pm, pv,
                                    tf_, tv, st)

@@ -21,7 +21,7 @@ from typing import Dict, Iterator, List
 import numpy as np
 
 
-def _pad_live_from(sd: Dict, max_len: int) -> np.ndarray:
+def _default_live_from(sd: Dict) -> np.ndarray:
     lf = sd.get("live_from")
     if lf is None:
         # slots live from frame 0; dead slots gated by tmpl_valid anyway
@@ -52,7 +52,7 @@ def batch_sequence_streams(streams: List[Dict]) -> Dict:
     }
     if gated:
         out["live_from"] = np.concatenate(
-            [_pad_live_from(sd, max_len) for sd in streams])
+            [_default_live_from(sd) for sd in streams])
         if all(sd.get("tmpl_frames") is not None for sd in streams):
             out["tmpl_frames"] = np.concatenate(
                 [sd["tmpl_frames"] for sd in streams])

@@ -79,19 +79,34 @@ def resolve_overlaps(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
 
 
 def resolve_labels(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
-                   image_hw, use_pallas: bool = True) -> jnp.ndarray:
+                   image_hw, use_pallas: bool = True,
+                   mesh=None) -> jnp.ndarray:
     """Logits at ANY resolution -> uint8 labels at image_hw.
 
     Full-res logits take the plain fused argmax (resolve_overlaps).
     Mask-grid logits (model.logits_res="mask") go through the fused
     bilinear-upsample+argmax kernel (kernels/resolve.py) so the
-    (B, M, H, W) tensor is never materialized — the round-3 roofline cut."""
+    (B, M, H, W) tensor is never materialized — the round-3 roofline cut.
+
+    `mesh`: when the caller runs data-parallel (batch axis sharded on
+    "data"), the Pallas kernel is wrapped in shard_map so GSPMD sees an
+    explicitly chip-local computation. A bare pallas_call is an opaque
+    custom call to the partitioner — without the manual region it may
+    replicate operands (inserting the very all-gathers the DP design
+    forbids) instead of splitting the grid."""
     if logits.shape[-2:] == tuple(image_hw):
         return resolve_overlaps(logits, tmpl_valid)
     from dmm_net_tpu.kernels.resolve import (fused_resolve_upsample,
                                              resolve_upsample_jnp)
     if use_pallas and jax.default_backend() == "tpu":
-        return fused_resolve_upsample(logits, tmpl_valid, tuple(image_hw))
+        fn = lambda lg, tv: fused_resolve_upsample(lg, tv, tuple(image_hw))
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            fn = shard_map(fn, mesh=mesh,
+                           in_specs=(P("data"), P("data")),
+                           out_specs=P("data"), check_rep=False)
+        return fn(logits, tmpl_valid)
     return resolve_upsample_jnp(logits, tmpl_valid, tuple(image_hw))
 
 
@@ -145,15 +160,17 @@ class InferenceEngine:
 
     def _replicated_variables(self):
         """Model variables replicated across the mesh (cached; keyed on the
-        variables object so reassigning engine.variables — e.g. loading new
-        weights — invalidates the cache instead of serving stale params)."""
+        variables object — by identity, holding a strong reference: a bare
+        id() key could alias a NEW dict allocated at a freed dict's address
+        and silently serve stale weights — so reassigning engine.variables,
+        e.g. loading new weights, invalidates the cache)."""
         if self.mesh is None:
             return self.variables
-        if getattr(self, "_vars_replicated_key", None) != id(self.variables):
+        if getattr(self, "_vars_replicated_src", None) is not self.variables:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             self._vars_replicated = jax.device_put(self.variables, rep)
-            self._vars_replicated_key = id(self.variables)
+            self._vars_replicated_src = self.variables
         return self._vars_replicated
 
     def _bucket_slice(self, tmpl_masks, tmpl_valid, extras=()):
@@ -199,7 +216,8 @@ class InferenceEngine:
     def _resolve(self, logits, tmpl_valid):
         """Logits -> full-resolution uint8 labels (see resolve_labels)."""
         return resolve_labels(logits, tmpl_valid, self.cfg.model.image_size,
-                              use_pallas=self.cfg.matching.use_pallas)
+                              use_pallas=self.cfg.matching.use_pallas,
+                              mesh=self.mesh)
 
     def _frame_step(self, variables, frame, prop_masks, prop_valid,
                     tmpl_feats, tmpl_valid, state):

@@ -243,12 +243,26 @@ def main():
         names = list(group)
         while len(names) < group_size:   # pad the last group (dups skipped)
             names.append(group[-1])
-        per_seq = {name: ds.sequence_stream(name) for name in set(names)}
-        sds = [per_seq[name] for name in names]
+        # one stream dict PER LANE: a padded duplicate name must get its
+        # own frames generator (batch_sequence_streams advances each lane's
+        # iterator every timestep — two lanes sharing one generator would
+        # interleave and exhaust it halfway)
+        sds = [ds.sequence_stream(name) for name in names]
+        per_seq = dict(zip(names, sds))   # static-metadata lookup only
         sd = batch_sequence_streams(sds)
         stream = RingStager(sd["frames"], depth=2)
         t0 = time.time()
         if args.per_frame:
+            lf = sd.get("live_from")
+            if lf is not None and np.any(np.asarray(lf) > 0):
+                # run_sequence has no live_from gating: objects appearing
+                # mid-video would get frame-0 template features and emit
+                # garbage from frame 0. Refuse instead of silently
+                # mis-scoring (the chunked default handles gating).
+                raise SystemExit(
+                    "--per-frame does not support mid-video objects "
+                    "(live_from > 0 in this sequence group); use the "
+                    "default chunked dispatch")
             res = engine.run_sequence(iter(stream), sd["tmpl_masks"],
                                       sd["tmpl_valid"], sd["first_frame"])
         else:

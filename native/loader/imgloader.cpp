@@ -293,19 +293,77 @@ int run_batch(const char** paths, int n, int oh, int ow, uint8_t* out,
     return failures.load();
 }
 
+// Header-only probes: dimensions come from the JPEG SOF / PNG IHDR
+// headers, no pixel decode (the native-resolution loaders call probe to
+// size their buffer and then decode ONCE; a decoding probe would double
+// host decode cost on the eval path this loader exists to speed up).
+bool probe_jpeg(FILE* f, int* h, int* w, int* c) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = static_cast<int>(cinfo.image_height);
+    *w = static_cast<int>(cinfo.image_width);
+    *c = 3;
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+}
+
+bool probe_png(FILE* f, int* h, int* w, int* c) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    if (!png) return false;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+    *h = static_cast<int>(png_get_image_height(png, info));
+    *w = static_cast<int>(png_get_image_width(png, info));
+    const int ctype = png_get_color_type(png, info);
+    // palette/gray = 1 (index/label maps) — same convention as the PIL
+    // fallback in native_loader.probe (mode "P"/"L" -> 1)
+    *c = (ctype == PNG_COLOR_TYPE_PALETTE ||
+          ctype == PNG_COLOR_TYPE_GRAY) ? 1 : 3;
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Header-only size probe. Returns 0 and fills h/w/c on success.
 int imgl_probe(const char* path, int* h, int* w, int* c) {
-    Image im;                      // full decode: simple + always correct
-    if (!decode_file(path, im, false) &&
-        !decode_file(path, im, true)) return -1;
-    *h = im.h;
-    *w = im.w;
-    *c = im.c;
-    return 0;
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t magic[2] = {0, 0};
+    if (std::fread(magic, 1, 2, f) != 2) {
+        std::fclose(f);
+        return -1;
+    }
+    std::rewind(f);
+    bool ok = false;
+    if (magic[0] == 0xFF && magic[1] == 0xD8) {
+        ok = probe_jpeg(f, h, w, c);
+    } else if (magic[0] == 0x89 && magic[1] == 'P') {
+        ok = probe_png(f, h, w, c);
+    }
+    std::fclose(f);
+    return ok ? 0 : -1;
 }
 
 // Decode one RGB frame at NATIVE size into out (cap bytes). Returns

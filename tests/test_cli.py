@@ -129,3 +129,29 @@ def test_train_cli_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed at step 2" in (r2.stderr + r2.stdout)
     assert "done at step 4" in (r2.stderr + r2.stdout)
+
+
+@pytest.mark.slow
+def test_infer_cli_data_parallel_padded_group(tmp_path):
+    """--data-parallel with a sequence count NOT divisible by the device
+    count: the last group pads by duplicating a name, and each lane must
+    own its OWN frames generator (a shared generator interleaves next()
+    calls across lanes and exhausts halfway — the exact shipped bug this
+    reproduces). 3 sequences over 2 fake devices -> groups [2, 1+pad]."""
+    root = _fake_davis(tmp_path, n_seq=3)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    out = str(tmp_path / "results_dp")
+    r = subprocess.run(
+        [sys.executable, "infer.py", "--preset", "p3_multi_object",
+         "--davis-root", root, "--out", out, "--chunk", "2",
+         "--data-parallel", "--set"] + TINY,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "results.json")) as f:
+        dp = json.load(f)
+    assert sorted(dp["sequences"]) == ["seq0", "seq1", "seq2"]
+    assert dp["frames"] == 9          # 3 seqs x 3 frames, dups skipped
+    assert dp["data_parallel"] == 2
+    for name, res in dp["sequences"].items():
+        assert 0.0 <= res["J&F"] <= 1.0, (name, res)

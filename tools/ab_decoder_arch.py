@@ -14,7 +14,7 @@ can wedge the relay; all variants share the data pool and exit cleanly.
 
 Usage:
   python tools/ab_decoder_arch.py                 # default variant set
-  python tools/ab_decoder_arch.py --variants base conv1 none taper16 \
+  python tools/ab_decoder_arch.py --variants base conv1 none taper \
       --steps 2000 --size 128 --backbone resnet34
 """
 import argparse
@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--distinct-batches", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    unknown = [v for v in args.variants if v not in VARIANTS]
+    if unknown:
+        # validate BEFORE training anything: a typo in a later variant
+        # must not waste the earlier variants' multi-thousand-step runs
+        ap.error(f"unknown variants {unknown}; have {sorted(VARIANTS)}")
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
