@@ -106,6 +106,11 @@ class ModelConfig:
     # obj_fuse "conv3" (shipped) | "conv1" | "none" picks the residual fuse
     # conv; obj_dim_fine 0 = decoder_obj_dim, else tapers the per-object
     # width at the finest level only. Defaults = shipped architecture.
+    # conv; obj_dim_fine=16 is the measured sweet spot: paired 128px A/B
+    # (tools/ab_decoder_arch.py, ROUND_NOTES r3) scored taper 0.9000 vs
+    # base 0.8827 held-out J&F, and bench.py at p3/B=16 went 1662 ->
+    # 2158 fps (obj_fuse="none" is NOT safe: one eval sequence collapsed
+    # to 0.0 in the same A/B). Production presets (p3, p4) taper to 16.
     decoder_obj_fuse: str = "conv3"
     decoder_obj_dim_fine: int = 0
     # Source of next-frame template masks for the cost IoU term:
@@ -266,7 +271,8 @@ def _p3_multi_object() -> Config:
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
-                          mask_res="stride4", logits_res="mask"),
+                          mask_res="stride4", logits_res="mask",
+                          decoder_obj_dim_fine=16),
         data=DataConfig(dataset="davis", batch_size=4),
     )
 
@@ -278,7 +284,8 @@ def _p4_ytvos_stream() -> Config:
         matching=MatchingConfig(max_templates=16, max_proposals=128,
                                 use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
-                          mask_res="stride4", logits_res="mask"),
+                          mask_res="stride4", logits_res="mask",
+                          decoder_obj_dim_fine=16),
         data=DataConfig(dataset="ytvos", batch_size=1, clip_length=8, prefetch_depth=3),
     )
 
