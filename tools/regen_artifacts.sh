@@ -1,0 +1,32 @@
+#!/bin/bash
+# Regenerate the shipped flagship artifacts (runs/ is gitignored, so
+# trained weights do not survive a fresh clone / round boundary).
+#
+#   runs/dmm448/dmm.msgpack              flagship DMM (256x448 / R-50,
+#                                        tapered decoder obj_dim_fine=16)
+#   runs/proposal_video448/mrcnn.msgpack proposal Mask R-CNN (256x448 /
+#                                        R-18 / 4 classes, video domain)
+#
+# One sequential process chain on purpose: TPU-tunnel compiles are
+# expensive and killed runs can wedge the relay (ROUND_NOTES r3) — run
+# this start-to-finish, ~20 min on one v5e chip. tests/test_dayone_cli.py
+# consumes the artifacts; it skips with a pointer here when they are
+# missing.
+set -e
+cd "$(dirname "$0")/.."
+mkdir -p runs/dmm448 runs/proposal_video448
+
+python examples/train_and_eval_synthetic.py --size 256 --width 448 \
+  --backbone resnet50 --feature-dim 64 --decoder-dim 64 --obj-dim 32 \
+  --steps "${DMM_STEPS:-4000}" --set model.decoder_obj_dim_fine=16 \
+  --save runs/dmm448/dmm.msgpack
+
+python train_proposal.py --data video --image-size 256 448 \
+  --backbone resnet18 --num-classes 4 --steps "${MRCNN_STEPS:-4000}" \
+  --batch 2 --logdir runs/proposal_video448 \
+  --save runs/proposal_video448/mrcnn.msgpack
+
+# full-system check: learned proposals end to end on held-out videos
+python examples/full_system_synthetic.py --dmm runs/dmm448/dmm.msgpack \
+  --mrcnn runs/proposal_video448/mrcnn.msgpack --mrcnn-classes 4 \
+  --eval-seqs 6 --frames 6
