@@ -215,6 +215,7 @@ def main():
         "image_size": [H, W],
         "M": M, "N": N,
         "decoder_variant": cfg.model.decoder_variant,
+        "decoder_obj_dim_fine": cfg.model.decoder_obj_dim_fine,
         "mask_dtype": cfg.model.mask_dtype,
         "use_pallas": cfg.matching.use_pallas,
         "pallas_parity_max_abs": parity,
