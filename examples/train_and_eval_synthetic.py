@@ -55,6 +55,14 @@ def main():
                     "matching.pgd_iters=30 (the SURVEY §8.5 solver "
                     "ablation: the reference trains through unrolled "
                     "PGD+Dykstra; our default is Sinkhorn)")
+    ap.add_argument("--no-eval", action="store_true",
+                    help="stop after training+save. The in-process "
+                    "run_sequence eval dispatches per frame with full-res "
+                    "proposal H2D — infeasible over the ~1-2 MB/s axon "
+                    "tunnel at flagship geometry (observed to die silently "
+                    "there). Use tools/ab_logits_res.py --cpu or "
+                    "examples/full_system_synthetic.py for quality checks "
+                    "of a saved flagship.")
     ap.add_argument("--ablate", action="store_true",
                     help="after training, score the SAME weights under "
                     "decode soft/argmax/hungarian and both template-update "
@@ -168,6 +176,9 @@ def main():
                 {"config": cfg.to_dict(),
                  "variables": jax.device_get(variables)}))
         print(f"saved DMM variables + config to {args.save}")
+    if args.no_eval:
+        print("OK (eval skipped)")
+        return
     model = DMMNet(cfg)
     engine = InferenceEngine(cfg, model=model, variables=variables,
                              update_templates=True)

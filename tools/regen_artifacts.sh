@@ -19,7 +19,7 @@ mkdir -p runs/dmm448 runs/proposal_video448
 python examples/train_and_eval_synthetic.py --size 256 --width 448 \
   --backbone resnet50 --feature-dim 64 --decoder-dim 64 --obj-dim 32 \
   --steps "${DMM_STEPS:-4000}" --set model.decoder_obj_dim_fine=16 \
-  --save runs/dmm448/dmm.msgpack
+  --no-eval --save runs/dmm448/dmm.msgpack
 
 python train_proposal.py --data video --image-size 256 448 \
   --backbone resnet18 --num-classes 4 --steps "${MRCNN_STEPS:-4000}" \
