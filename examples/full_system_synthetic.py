@@ -46,6 +46,16 @@ def main():
                     help="first sequence seed (held out: training pools use "
                     "seeds < distinct_batches and >= 10000 for detection)")
     ap.add_argument("--score-thresh", type=float, default=0.05)
+    ap.add_argument("--chunk", type=int, default=4,
+                    help="frames per scan chunk (the eval dispatches through "
+                    "run_stream_chunked with compact proposals — tunnel-safe)")
+    ap.add_argument("--min-jf", type=float, default=0.0,
+                    help="exit nonzero if mean detector-proposal J&F falls "
+                    "below this (regen_artifacts.sh gate: a broken artifact "
+                    "pair must fail the script, ADVICE r3 #1)")
+    ap.add_argument("--min-recall", type=float, default=0.0,
+                    help="exit nonzero if mean proposal recall@0.5 falls "
+                    "below this")
     args = ap.parse_args()
 
     from dmm_net_tpu.utils.cache import enable_compilation_cache
@@ -77,10 +87,24 @@ def main():
         det_vars = serialization.msgpack_restore(f.read())
 
     @jax.jit
-    def detect(img):
+    def detect(img, gt):
+        """One frame -> COMPACT detections + device-side recall.
+
+        Returns (boxes (D, 4), masks28 (D, 28, 28), valid (D,),
+        best_iou (G,)): the compact form feeds the engine's chunked
+        dispatch directly (no full-res masks ever cross the host
+        boundary — the per-frame full-res H2D of the old path dies over
+        the ~1-2 MB/s axon tunnel at flagship geometry), and recall@0.5
+        is computed against GT on device so only a G-vector returns."""
         out = det.apply(det_vars, img)
         full = paste_masks(out["masks"], out["boxes"], out["valid"], (H, W))
-        return full, out["scores"], out["valid"]
+        fb = (full > 0.5).astype(jnp.float32)           # (D, H, W)
+        g = gt.astype(jnp.float32)                      # (G, H, W)
+        inter = jnp.einsum("dhw,ghw->dg", fb, g)
+        union = (fb.sum((1, 2))[:, None] + g.sum((1, 2))[None, :] - inter)
+        iou = inter / jnp.maximum(union, 1.0)
+        iou = jnp.where(out["valid"][:, None], iou, 0.0)
+        return out["boxes"], out["masks"], out["valid"], iou.max(axis=0)
 
     engine = InferenceEngine(cfg, model=DMMNet(cfg), variables=dmm_vars,
                              update_templates=True)
@@ -90,16 +114,15 @@ def main():
         p[axis] = (0, M - x.shape[axis])
         return np.pad(x, p)
 
-    def run(seq, props, pvalid):
-        def stream():
-            for t in range(seq["frames"].shape[0]):
-                yield {"frame": seq["frames"][t][None],
-                       "prop_masks": props[t][None],
-                       "prop_valid": pvalid[t][None]}
+    def run(seq, items):
+        """items: per-frame compact proposal stream (tunnel-safe: the
+        production run_stream_chunked dispatch — one K-frame lax.scan per
+        H2D batch, proposals as boxes + 28x28 crops pasted on device)."""
         tmpl_masks = pad_m(seq["tmpl_masks"])[None]
         tmpl_valid = pad_m(seq["tmpl_valid"])[None]
-        res = engine.run_sequence(stream(), tmpl_masks, tmpl_valid,
-                                  seq["frames"][0][None])
+        res = engine.run_stream_chunked(iter(items), tmpl_masks, tmpl_valid,
+                                        seq["frames"][0][None],
+                                        chunk=args.chunk)
         labels = res["labels"][:, 0]
         gt_labels = np.zeros_like(labels)
         m_live = seq["gt_masks"].shape[1]
@@ -107,37 +130,34 @@ def main():
             gt_labels[seq["gt_masks"][:, i] > 0.5] = i + 1
         return evaluate_sequence(gt_labels, labels)
 
+    from dmm_net_tpu.infer.compact import compact_stream
+
     rows = []
     for s in range(args.seed0, args.seed0 + args.eval_seqs):
         seq = synthetic_sequence(seed=s, T=args.frames, H=H, W=W,
                                  num_objects=2, num_proposals=N)
         # --- detector proposals, no GT in the loop -------------------
         T = seq["frames"].shape[0]
-        det_props = np.zeros((T, N, H, W), np.float32)
-        det_valid = np.zeros((T, N), bool)
+        det_items = []
         recalls = []
         for t in range(T):
             # MaskRCNN takes a batch-1 image but returns unbatched
             # (D, ...) detections (D = max_detections)
-            full, scores, valid = jax.device_get(
-                detect(jnp.asarray(seq["frames"][t][None])))
-            order = np.argsort(-np.where(valid, scores, -np.inf))
-            det_props[t] = (full[order] > 0.5).astype(np.float32)
-            det_valid[t] = valid[order]
-            # proposal recall@0.5 vs this frame's GT
-            hit = 0
-            for i in range(seq["gt_masks"].shape[1]):
-                g = seq["gt_masks"][t, i] > 0.5
-                if not g.any():
-                    continue
-                ious = [(np.logical_and(g, p > 0.5).sum()
-                         / max(np.logical_or(g, p > 0.5).sum(), 1))
-                        for p, v in zip(det_props[t], det_valid[t]) if v]
-                hit += bool(ious and max(ious) >= 0.5)
-            recalls.append(hit / max(seq["gt_masks"].shape[1], 1))
+            gt_t = seq["gt_masks"][t] > 0.5
+            boxes, m28, valid, best_iou = jax.device_get(
+                detect(jnp.asarray(seq["frames"][t][None]),
+                       jnp.asarray(gt_t)))
+            det_items.append({"frame": seq["frames"][t][None],
+                              "prop_boxes": boxes[None],
+                              "prop_masks28": m28[None],
+                              "prop_valid": valid[None]})
+            live = gt_t.any(axis=(1, 2))
+            recalls.append(((best_iou >= 0.5) & live).sum()
+                           / max(live.sum(), 1))
 
-        r_det = run(seq, det_props, det_valid)
-        r_gt = run(seq, seq["prop_masks"], seq["prop_valid"])
+        r_det = run(seq, det_items)
+        r_gt = run(seq, compact_stream(seq["frames"], seq["prop_masks"],
+                                       seq["prop_valid"]))
         rows.append((s, np.mean(recalls), r_det["J&F"], r_gt["J&F"]))
         print(f"seq {s}: recall@0.5={np.mean(recalls):.3f}  "
               f"J&F detector={r_det['J&F']:.3f}  planted={r_gt['J&F']:.3f}")
@@ -149,6 +169,11 @@ def main():
     print(f"  detector-proposal recall@0.5 : {rec:.3f}")
     print(f"  J&F with DETECTOR proposals  : {jf_det:.3f}")
     print(f"  J&F with PLANTED proposals   : {jf_gt:.3f}")
+    if jf_det < args.min_jf or rec < args.min_recall:
+        print(f"FAIL: detector-proposal J&F {jf_det:.3f} < {args.min_jf} "
+              f"or recall {rec:.3f} < {args.min_recall}")
+        sys.exit(1)
+    print("OK")
 
 
 if __name__ == "__main__":

@@ -16,17 +16,23 @@ set -e
 cd "$(dirname "$0")/.."
 mkdir -p runs/dmm448 runs/proposal_video448
 
+# DMM: the held-out eval is tunnel-safe (chunked-compact dispatch) and
+# GATES the artifact — the verified name appears only above --min-jf, so
+# unmeasured/regressed weights cannot ship (VERDICT r3 next #1).
 python examples/train_and_eval_synthetic.py --size 256 --width 448 \
   --backbone resnet50 --feature-dim 64 --decoder-dim 64 --obj-dim 32 \
   --steps "${DMM_STEPS:-4000}" --set model.decoder_obj_dim_fine=16 \
-  --no-eval --save runs/dmm448/dmm.msgpack
+  --eval-seqs 2 --min-jf "${DMM_MIN_JF:-0.90}" \
+  --save runs/dmm448/dmm.msgpack
 
 python train_proposal.py --data video --image-size 256 448 \
   --backbone resnet18 --num-classes 4 --steps "${MRCNN_STEPS:-4000}" \
   --batch 2 --logdir runs/proposal_video448 \
   --save runs/proposal_video448/mrcnn.msgpack
 
-# full-system check: learned proposals end to end on held-out videos
+# full-system gate: learned proposals end to end on held-out videos;
+# exits nonzero (failing this script under set -e) if the artifact PAIR
+# scores below the floor — the day-one drill's expectation
 python examples/full_system_synthetic.py --dmm runs/dmm448/dmm.msgpack \
   --mrcnn runs/proposal_video448/mrcnn.msgpack --mrcnn-classes 4 \
-  --eval-seqs 6 --frames 6
+  --eval-seqs 6 --frames 6 --min-jf "${SYS_MIN_JF:-0.85}" --min-recall 0.9
