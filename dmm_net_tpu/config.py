@@ -45,6 +45,24 @@ class MatchingConfig:
     # decode — engine-level, inference only; each proposal used once).
     decode: str = "soft"
 
+    def __post_init__(self):
+        if self.solver not in ("sinkhorn", "pgd"):
+            raise ValueError(f"matching.solver={self.solver!r}: expected "
+                             "'sinkhorn' or 'pgd'")
+        if self.decode not in ("soft", "argmax", "hungarian"):
+            raise ValueError(f"matching.decode={self.decode!r}: expected "
+                             "'soft', 'argmax' or 'hungarian'")
+        if self.solver == "pgd" and self.use_pallas:
+            # the fused Pallas kernel implements Sinkhorn only; silently
+            # running Sinkhorn under a pgd request (the old behavior,
+            # models/dmm.py match_assignment checks use_pallas first)
+            # invalidated --set matching.solver=pgd on p2-p4 presets
+            raise ValueError(
+                "matching.solver='pgd' is incompatible with "
+                "matching.use_pallas=True (the fused kernel is "
+                "Sinkhorn-only); add matching.use_pallas=false to run the "
+                "unrolled PGD+Dykstra path")
+
 
 @dataclass(frozen=True)
 class CostConfig:
@@ -188,12 +206,21 @@ class Config:
         """Return a new Config with dot-path overrides applied.
 
         >>> cfg.override(**{"matching.solver": "pgd", "train.lr": 3e-4})
+
+        All overrides touching one sub-config are applied in a single
+        dataclasses.replace, so cross-field validation (__post_init__)
+        sees only the FINAL state — e.g. {"matching.solver": "pgd",
+        "matching.use_pallas": False} must not trip the pgd/pallas guard
+        through an invalid intermediate.
         """
-        out = self
+        nested: dict = {}
         for path, value in dotted.items():
+            d = nested
             parts = path.split(".")
-            out = _replace_path(out, parts, value)
-        return out
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = value
+        return _replace_nested(self, nested)
 
     def to_dict(self) -> dict:
         """Nested plain-python dict (msgpack/json-safe; tuples -> lists —
@@ -226,11 +253,15 @@ def config_from_dict(d: dict) -> Config:
     return build(Config, d)
 
 
-def _replace_path(node, parts, value):
-    if len(parts) == 1:
-        return dataclasses.replace(node, **{parts[0]: value})
-    child = getattr(node, parts[0])
-    return dataclasses.replace(node, **{parts[0]: _replace_path(child, parts[1:], value)})
+def _replace_nested(node, changes: dict):
+    kwargs = {}
+    for key, value in changes.items():
+        current = getattr(node, key)   # KeyError-equivalent for bad paths
+        if isinstance(value, dict) and dataclasses.is_dataclass(current):
+            kwargs[key] = _replace_nested(current, value)
+        else:
+            kwargs[key] = value
+    return dataclasses.replace(node, **kwargs)
 
 
 # ---------------------------------------------------------------------------

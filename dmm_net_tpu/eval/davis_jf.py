@@ -150,9 +150,14 @@ def evaluate_sequence(gt_masks: np.ndarray, pred_masks: np.ndarray,
         ids = np.round(np.linspace(1, len(xs), n_bins + 1) + 1e-10) - 1
         # uint8 reproduces the official scorer's dtype quirk bit-for-bit
         # (required for DAVIS fidelity, SURVEY.md §4.5 "must not be
-        # improved"). WARNING: it silently wraps for sequences longer than
-        # 255 frames — fine for DAVIS (max ~104), a trap if reused for
-        # YT-VOS-length videos.
+        # improved") — but it silently WRAPS past 255 frames. DAVIS maxes
+        # at ~104; refuse longer inputs instead of wrapping (VERDICT r3
+        # #9): YT-VOS-length videos must not reuse this scorer blindly.
+        if len(xs) > 255:
+            raise ValueError(
+                f"decay statistic is DAVIS-protocol-exact (uint8 bin "
+                f"indices) and wraps beyond 255 frames; got {len(xs)}. "
+                "Score long videos with eval/ytvos_local.py instead.")
         ids = ids.astype(np.uint8)
         bins = [np.asarray(xs)[ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
         means = [b.mean() if b.size else 0.0 for b in bins]

@@ -614,7 +614,9 @@ class InferenceEngine:
         values on save (bit-depth optimization); frombytes + putpalette
         preserves raw indices exactly."""
         from PIL import Image
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = os.path.dirname(path)
+        if d:   # bare filenames have no directory component to create
+            os.makedirs(d, exist_ok=True)
         lab = np.ascontiguousarray(labels.astype(np.uint8))
         img = Image.frombytes("P", (lab.shape[1], lab.shape[0]), lab.tobytes())
         img.putpalette(DAVIS_PALETTE.flatten().tolist())

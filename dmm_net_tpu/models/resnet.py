@@ -87,8 +87,13 @@ class BottleneckBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Explicit (1,1) padding: flax "SAME" on a stride-2 3x3 conv pads
+        # (0,1) — one pixel misaligned vs torch's symmetric pad=1 grid.
+        # Equal at stride 1; at the stage-transition convs the asymmetry
+        # silently breaks torch-weight import parity (caught by
+        # tests/test_torch_parity.py: c3 rel err 0.24 before this fix).
         conv3x3 = self.conv3x3 or (
-            lambda f, s: self.conv(f, (3, 3), s))
+            lambda f, s: self.conv(f, (3, 3), s, padding=[(1, 1), (1, 1)]))
         residual = x
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
@@ -117,8 +122,9 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit (1,1) pad: see BottleneckBlock (torch stride-2 parity)
         conv3x3 = self.conv3x3 or (
-            lambda f, s: self.conv(f, (3, 3), s))
+            lambda f, s: self.conv(f, (3, 3), s, padding=[(1, 1), (1, 1)]))
         residual = x
         y = conv3x3(self.filters, self.strides)(x)
         y = self.norm()(y)

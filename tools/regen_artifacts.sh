@@ -16,19 +16,26 @@ set -e
 cd "$(dirname "$0")/.."
 mkdir -p runs/dmm448 runs/proposal_video448
 
-# DMM: the held-out eval is tunnel-safe (chunked-compact dispatch) and
-# GATES the artifact — the verified name appears only above --min-jf, so
-# unmeasured/regressed weights cannot ship (VERDICT r3 next #1).
-python examples/train_and_eval_synthetic.py --size 256 --width 448 \
-  --backbone resnet50 --feature-dim 64 --decoder-dim 64 --obj-dim 32 \
-  --steps "${DMM_STEPS:-4000}" --set model.decoder_obj_dim_fine=16 \
-  --eval-seqs 2 --min-jf "${DMM_MIN_JF:-0.90}" \
-  --save runs/dmm448/dmm.msgpack
-
+# Detector FIRST: the DMM trains on ITS cached proposals (the reference's
+# actual protocol, SURVEY.md §1.1/§4.3). Training on planted jittered-GT
+# proposals only (the r3 regen) left the DMM brittle to the detector's
+# dilated soft-edged masks — day-one drill collapsed to J&F 0.489 while
+# planted-proposal eval read 0.95+.
 python train_proposal.py --data video --image-size 256 448 \
   --backbone resnet18 --num-classes 4 --steps "${MRCNN_STEPS:-4000}" \
   --batch 2 --logdir runs/proposal_video448 \
   --save runs/proposal_video448/mrcnn.msgpack
+
+# DMM on detector proposals. The held-out eval is tunnel-safe
+# (chunked-compact dispatch) and GATES the artifact — the verified name
+# appears only above --min-jf, so unmeasured/regressed weights cannot
+# ship (VERDICT r3 next #1).
+python examples/train_and_eval_synthetic.py --size 256 --width 448 \
+  --backbone resnet50 --feature-dim 64 --decoder-dim 64 --obj-dim 32 \
+  --steps "${DMM_STEPS:-4000}" --set model.decoder_obj_dim_fine=16 \
+  --mrcnn runs/proposal_video448/mrcnn.msgpack --mrcnn-classes 4 \
+  --eval-seqs 2 --min-jf "${DMM_MIN_JF:-0.90}" \
+  --save runs/dmm448/dmm.msgpack
 
 # full-system gate: learned proposals end to end on held-out videos;
 # exits nonzero (failing this script under set -e) if the artifact PAIR
