@@ -310,9 +310,14 @@ def _p3_multi_object() -> Config:
 
 def _p4_ytvos_stream() -> Config:
     # "YouTube-VOS val: longer sequences, more objects, streaming pipeline"
+    # M=32 / N=256 per the workload spec (BASELINE.json config #4: "more
+    # objects, higher proposal counts" than p3's 16/128). N=256 spans two
+    # 128-lane tiles in the fused Pallas matcher (parity tested at this
+    # size); per-sequence object bucketing keeps the common few-object
+    # case from paying the padded-M decoder cost.
     return Config(
         name="p4_ytvos_stream",
-        matching=MatchingConfig(max_templates=16, max_proposals=128,
+        matching=MatchingConfig(max_templates=32, max_proposals=256,
                                 use_pallas=True),
         model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
                           mask_res="stride4", logits_res="mask",

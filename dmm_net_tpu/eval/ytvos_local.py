@@ -42,6 +42,26 @@ def evaluate_video(gt_by_stem: Mapping[str, np.ndarray],
     return out
 
 
+def seen_split_from_meta(meta_videos: Mapping[str, Dict],
+                         seen_category_names: Sequence[str]
+                         ) -> Dict[str, List[int]]:
+    """Category-labeled meta.json -> summarize()'s seen-split mapping.
+
+    meta_videos: the "videos" dict of a full-release meta.json, where each
+    object carries its category name:
+        {vid: {"objects": {"1": {"category": "person", "frames": [...]}}}}
+    seen_category_names: the categories present in the TRAIN split (the
+    official seen/unseen definition — unseen categories never appear in
+    training). Returns {video: [object ids whose category is seen]}.
+    """
+    seen = set(seen_category_names)
+    out: Dict[str, List[int]] = {}
+    for vid, vd in meta_videos.items():
+        out[vid] = [int(oid) for oid, od in vd.get("objects", {}).items()
+                    if od.get("category") in seen]
+    return out
+
+
 def summarize(per_video: Mapping[str, Dict],
               seen_categories: Optional[Mapping[str, Sequence[int]]] = None
               ) -> Dict:

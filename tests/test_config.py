@@ -48,6 +48,9 @@ def test_preset_configs_match_driver_acceptance():
     assert p3.matching.max_templates > 1 and p3.data.batch_size > 1
     p4 = preset("p4_ytvos_stream")
     assert p4.data.dataset == "ytvos" and p4.data.prefetch_depth >= 3
+    # config #4 spec: "more objects, higher proposal counts" than p3
+    assert p4.matching.max_templates > p3.matching.max_templates
+    assert p4.matching.max_proposals > p3.matching.max_proposals
     p5 = preset("p5_train")
     assert p5.data.dataset == "davis" and p5.data.clip_length >= 2
 

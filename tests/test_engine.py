@@ -273,3 +273,60 @@ def test_decode_modes_argmax_and_hungarian():
     for mode, r in results.items():
         lab = r["labels"]
         assert lab.min() >= 0 and lab.max() <= n_valid, mode
+
+
+def test_stream_chunked_p4_scale_padding_discipline():
+    """p4 spec scale (M=32 templates, N=256 proposals — VERDICT r3 #6):
+    padded template/proposal slots must never emit labels or receive
+    assignment mass, with bucketing disabled so the full padded M=32
+    decoder path runs."""
+    import jax
+    from dmm_net_tpu.config import Config, DataConfig, MatchingConfig, ModelConfig
+    from dmm_net_tpu.data.synthetic import synthetic_sequence
+    from dmm_net_tpu.infer.engine import InferenceEngine
+    from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
+
+    S, M, N, T = 64, 32, 256, 3
+    cfg = Config(
+        name="p4s",
+        model=ModelConfig(backbone="resnet18", feature_dim=16,
+                          decoder_dim=16, decoder_obj_dim=8,
+                          image_size=(S, S)),
+        matching=MatchingConfig(max_templates=M, max_proposals=N,
+                                sinkhorn_iters=8, use_pallas=False),
+        data=DataConfig(dataset="synthetic"),
+    )
+    seq = synthetic_sequence(seed=11, T=T, H=S, W=S, num_objects=3,
+                             num_proposals=6)
+    model = DMMNet(cfg)
+    state0 = init_frame_state(cfg, jnp.zeros((1, M, S, S), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, S, S, 3)),
+                           jnp.zeros((1, N, S, S)), jnp.ones((1, N), bool),
+                           jnp.zeros((1, M, cfg.model.feature_dim)),
+                           jnp.ones((1, M), bool), state0)
+    engine = InferenceEngine(cfg, model=model, variables=variables,
+                             bucket_templates=False)
+
+    def pad_to(x, n, axis=0):
+        p = [(0, 0)] * x.ndim
+        p[axis] = (0, n - x.shape[axis])
+        return np.pad(x, p)
+
+    def stream():
+        for t in range(T):
+            yield {"frame": seq["frames"][t][None],
+                   "prop_masks": pad_to(seq["prop_masks"][t], N)[None],
+                   "prop_valid": pad_to(seq["prop_valid"][t], N)[None]}
+
+    res = engine.run_stream_chunked(
+        stream(), pad_to(seq["tmpl_masks"], M)[None],
+        pad_to(seq["tmpl_valid"], M)[None], seq["frames"][0][None], chunk=2)
+    labels = res["labels"]
+    X = res["assignments"]
+    assert labels.shape == (T, 1, S, S) and X.shape == (T, 1, M, N)
+    # labels only from live template slots (1..3) or background
+    assert set(np.unique(labels)) <= set(range(0, 4))
+    # padded rows (templates >= 3) and cols (proposals >= 6) carry no mass
+    assert np.abs(X[:, :, 3:, :]).max() == 0.0
+    assert np.abs(X[:, :, :, 6:]).max() == 0.0

@@ -55,3 +55,18 @@ def test_fused_kernel_unaligned_sizes_pad_and_slice():
     # padded region never receives mass
     assert (np.asarray(Xk)[0, 2:] == 0).all()
     assert (np.asarray(Xk)[0, :, 11:] == 0).all()
+
+
+def test_fused_kernel_p4_scale_m32_n256():
+    """p4's spec size (SURVEY.md §1 config #4: more objects, higher
+    proposal counts): M=32, N=256 — N spans two 128-lane tiles. Parity
+    with the jnp path + zero mass in padded rows/cols (VERDICT r3 #6)."""
+    tm, pm, tf, pf, rm, cm = _problem(2, B=1, M=32, N=256, P=256, D=64,
+                                      m=13, n=70)
+    Xk = fused_cost_match(tm, pm, tf, pf, rm, cm, interpret=True)
+    assert Xk.shape == (1, 32, 256)
+    C = cost_matrix(tm, pm, tf, pf, row_mask=rm, col_mask=cm, iou_weight=0.3)
+    Xj = sinkhorn_match(C, rm, cm, epsilon=0.05, iters=30)
+    np.testing.assert_allclose(np.asarray(Xk), np.asarray(Xj), atol=1e-4)
+    assert (np.asarray(Xk)[0, 13:] == 0).all()
+    assert (np.asarray(Xk)[0, :, 70:] == 0).all()
