@@ -80,7 +80,11 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "16"))
     K = int(os.environ.get("BENCH_CHUNK", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    cfg = preset("p3_multi_object")
+    # BENCH_PRESET=p3_480p measures the reference's native DAVIS geometry
+    # (854x480 padded to 864x480, SURVEY.md §4.2); p4_ytvos_stream the
+    # M=32/N=256 streaming shape. The preset is echoed in the JSON so a
+    # non-headline geometry can't masquerade as the p3 number.
+    cfg = preset(os.environ.get("BENCH_PRESET", "p3_multi_object"))
     # BENCH_SET="model.decoder_obj_fuse=none model.decoder_obj_dim_fine=16"
     # applies dot-overrides (space/;-separated, values coerced like --set)
     # to the pinned preset — for A/B measurements of config knobs through

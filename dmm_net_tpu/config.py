@@ -308,6 +308,23 @@ def _p3_multi_object() -> Config:
     )
 
 
+def _p3_480p() -> Config:
+    # p3 at the REFERENCE'S native DAVIS operating point (SURVEY.md §4.2:
+    # the reference ran 480p). 854 is not a /32 multiple; 864 = 27*32 pads
+    # the width (the davis reader resizes to model size; scoring upsamples
+    # to the annotation's native resolution either way). Everything else
+    # matches p3 so fps rows at the two geometries are comparable.
+    return Config(
+        name="p3_480p",
+        matching=MatchingConfig(max_templates=16, max_proposals=128,
+                                use_pallas=True),
+        model=ModelConfig(decoder_dtype="bfloat16", mask_dtype="bfloat16",
+                          mask_res="stride4", logits_res="mask",
+                          decoder_obj_dim_fine=16, image_size=(480, 864)),
+        data=DataConfig(dataset="davis", batch_size=4),
+    )
+
+
 def _p4_ytvos_stream() -> Config:
     # "YouTube-VOS val: longer sequences, more objects, streaming pipeline"
     # M=32 / N=256 per the workload spec (BASELINE.json config #4: "more
@@ -339,6 +356,7 @@ _PRESETS = {
     "p1_matcher_only": _p1_matcher_only,
     "p2_single_object": _p2_single_object,
     "p3_multi_object": _p3_multi_object,
+    "p3_480p": _p3_480p,
     "p4_ytvos_stream": _p4_ytvos_stream,
     "p5_train": _p5_train,
 }

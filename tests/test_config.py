@@ -8,7 +8,7 @@ from dmm_net_tpu.utils.cli import parse_overrides
 
 def test_all_presets_load():
     for name in ("p1_matcher_only", "p2_single_object", "p3_multi_object",
-                 "p4_ytvos_stream", "p5_train"):
+                 "p3_480p", "p4_ytvos_stream", "p5_train"):
         cfg = preset(name)
         assert cfg.name == name
         assert cfg.matching.max_templates >= 1
