@@ -66,10 +66,16 @@ def _synthetic_davis_tree(tmp_path, T=4, seeds=(7001,)):
 def test_dayone_flagship_artifacts_to_native_jf(tmp_path):
     """Flagship weights -> one command -> native-resolution J&F."""
     if not (os.path.exists(DMM_CKPT) and os.path.exists(MRCNN_CKPT)):
-        # runs/ is gitignored; fresh clones must regenerate the weights
-        pytest.skip("shipped flagship artifacts missing — run "
-                    "tools/regen_artifacts.sh (~20 min on one v5e), "
-                    "then re-run this drill")
+        # runs/ is gitignored; fresh clones must regenerate the weights.
+        # REQUIRE_ARTIFACTS=1 (the regen/driver invocation) restores the
+        # hard failure so a broken artifact pipeline can't read as a
+        # green (skipped) suite (ADVICE r3 #4).
+        msg = ("shipped flagship artifacts missing — run "
+               "tools/regen_artifacts.sh (~20 min on one v5e), "
+               "then re-run this drill")
+        if os.environ.get("REQUIRE_ARTIFACTS"):
+            pytest.fail(msg)
+        pytest.skip(msg)
     root = _synthetic_davis_tree(tmp_path, T=4)
     cache = str(tmp_path / "proposals")
     out = str(tmp_path / "results")
