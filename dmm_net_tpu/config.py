@@ -131,6 +131,11 @@ class ModelConfig:
     # to 0.0 in the same A/B). Production presets (p3, p4) taper to 16.
     decoder_obj_fuse: str = "conv3"
     decoder_obj_dim_fine: int = 0
+    # SHARED-path fine-level taper (A/B lever, r4): the frame-shared FPN's
+    # merge/fuse 3x3 convs at the finest (stride-4) level are the largest
+    # single FLOP block of the decoder; 0 = full decoder_dim there,
+    # else run the finest shared level at this width.
+    decoder_dim_fine: int = 0
     # Source of next-frame template masks for the cost IoU term:
     # "decoder" (refined prediction, the reference's behavior) or
     # "aggregation" (matcher-aggregated proposals — robust without trained

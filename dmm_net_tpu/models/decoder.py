@@ -251,6 +251,10 @@ class SharedFPNDecoder(nn.Module):
     obj_fuse: str = "conv3"    # "conv3" (shipped) | "conv1" | "none"
     obj_features_fine: int = 0  # 0 = obj_features; else per-object width
     #                             at the finest level only (taper)
+    features_fine: int = 0     # 0 = features; else SHARED-path width at
+    #                            the finest level only (the stride-4
+    #                            merge/fuse convs are the decoder's
+    #                            largest FLOP block — r4 A/B lever)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
@@ -273,11 +277,14 @@ class SharedFPNDecoder(nn.Module):
         x = nn.relu(conv(f, 3, "head")(feats["c5"].astype(self.dtype)))
         shared = {"c5": x}
         for level in levels:
+            f_l = f
+            if level == levels[-1] and self.features_fine:
+                f_l = self.features_fine
             skip = feats[level].astype(self.dtype)
             x = _resize(x, skip.shape[-3:-1])
-            lat = conv(f, 1, f"lat_{level}")(skip)
-            x = nn.relu(conv(f, 3, f"merge_{level}")(x) + lat)
-            x = nn.relu(conv(f, 3, f"fuse_{level}")(x))
+            lat = conv(f_l, 1, f"lat_{level}")(skip)
+            x = nn.relu(conv(f_l, 3, f"merge_{level}")(x) + lat)
+            x = nn.relu(conv(f_l, 3, f"fuse_{level}")(x))
             shared[level] = x
         # cheap 1x1 projections f -> g feeding the per-object path
         proj = {k: conv(g, 1, f"toobj_{k}")(v) for k, v in shared.items()}

@@ -70,6 +70,7 @@ class DMMNet(nn.Module):
         if cfg.model.decoder_variant == "shared":
             self.decoder = SharedFPNDecoder(
                 features=cfg.model.decoder_dim,
+                features_fine=cfg.model.decoder_dim_fine,
                 obj_features=cfg.model.decoder_obj_dim,
                 obj_fuse=cfg.model.decoder_obj_fuse,
                 obj_features_fine=cfg.model.decoder_obj_dim_fine,

@@ -32,6 +32,15 @@ VARIANTS = {
     "none": {"decoder_obj_fuse": "none", "decoder_obj_dim_fine": 0},
     "taper": {"decoder_obj_fuse": "conv3", "decoder_obj_dim_fine": "half"},
     "none+taper": {"decoder_obj_fuse": "none", "decoder_obj_dim_fine": "half"},
+    # r4 levers on top of the adopted taper (production = taper):
+    # 1x1 fuse at every level (fatter-fewer candidate) and the SHARED
+    # FPN path tapered at the finest level (its merge/fuse 3x3 convs are
+    # the decoder's largest FLOP block)
+    "conv1+taper": {"decoder_obj_fuse": "conv1",
+                    "decoder_obj_dim_fine": "half"},
+    "taper+shared_half": {"decoder_obj_fuse": "conv3",
+                          "decoder_obj_dim_fine": "half",
+                          "decoder_dim_fine": "half_f"},
 }
 
 
@@ -110,6 +119,8 @@ def main():
         kn = dict(VARIANTS[name])
         if kn["decoder_obj_dim_fine"] == "half":
             kn["decoder_obj_dim_fine"] = max(args.obj_dim // 2, 4)
+        if kn.get("decoder_dim_fine") == "half_f":
+            kn["decoder_dim_fine"] = max(base_cfg.model.decoder_dim // 2, 8)
         cfg = dataclasses.replace(
             base_cfg, model=dataclasses.replace(base_cfg.model, **kn))
         state = create_train_state(cfg, jax.random.PRNGKey(args.seed),
