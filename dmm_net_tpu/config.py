@@ -141,6 +141,18 @@ class ModelConfig:
     # "aggregation" (matcher-aggregated proposals — robust without trained
     # decoder weights, e.g. matcher-only deployments).
     template_update: str = "decoder"
+    # Frame-input distribution the DMM backbone was trained on, applied
+    # IDENTICALLY at train and serve time (the checkpoint carries it):
+    #   "raw01"    — [0,1] RGB (every in-repo trainer's convention;
+    #                uint8 frames are just /255 on device)
+    #   "imagenet" — ImageNet mean/std normalization on top (torch/COCO-
+    #                lineage imported backbones expect this)
+    # History: extract_features used to ImageNet-normalize uint8 frames
+    # but pass floats through — so raw01-trained weights collapsed
+    # (day-one drill J&F 0.29) the moment the uint8 native loader landed,
+    # while every float-fed eval stayed green. Same failure class as the
+    # r3 extract_proposals --input-norm bug, now closed on the DMM side.
+    input_norm: str = "raw01"
     image_size: Tuple[int, int] = (256, 448)  # H, W (DAVIS 480p downscaled)
     num_skip_levels: int = 4       # backbone taps C2..C5
     # BatchNorm statistics during training. False (default) = frozen BN:

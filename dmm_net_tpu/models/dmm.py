@@ -88,16 +88,25 @@ class DMMNet(nn.Module):
         """frames (B, H, W, 3) -> pyramid dict; c4 additionally projected to
         the matching feature space as key 'emb' (stride 16).
 
-        uint8 frames are ImageNet-normalized on device (so hosts transfer
-        1 byte/px over PCIe); float frames are assumed pre-normalized.
+        Input contract (cfg.model.input_norm — carried by checkpoints so
+        train and serve can never diverge): frames are RAW [0,1] RGB,
+        shipped either as float or as uint8 (1 byte/px over PCIe; /255
+        happens here on device). Under input_norm="imagenet" (torch-
+        imported backbones) ImageNet mean/std normalization is applied on
+        top — to BOTH dtypes. The old behavior (normalize uint8, pass
+        floats through) silently skewed every uint8-reader serve path
+        against the float-fed raw01 trainers.
 
         The pyramid keeps the backbone's compute dtype (bf16 in the
         inference presets — downstream consumers cast where they need f32,
         so materializing f32 copies here would only double HBM traffic);
         'emb' is always f32 (the cost matrix is precision-pinned)."""
         if frames.dtype == jnp.uint8:
-            from dmm_net_tpu.data.pipeline import normalize_frames
-            frames = normalize_frames(frames)
+            frames = frames.astype(jnp.float32) / 255.0
+        if self.config.model.input_norm == "imagenet":
+            from dmm_net_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+            frames = ((frames.astype(jnp.float32) - IMAGENET_MEAN)
+                      / IMAGENET_STD)
         feats = dict(self.backbone(frames))
         feats["emb"] = self.feat_proj(feats["c4"].astype(jnp.float32))
         return feats

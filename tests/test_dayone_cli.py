@@ -98,10 +98,12 @@ def test_dayone_flagship_artifacts_to_native_jf(tmp_path):
         summary = json.load(f)
     assert summary["dispatch"] == "chunked_scan"
     assert summary["frames"] == 4
-    # the flagship scored 0.980 at this geometry on held-out synthetic
-    # videos; the native-854x480 round trip (jpeg encode, resize, paste)
-    # costs a little — anything near that confirms the whole path works
-    assert summary["J&F"] > 0.8, summary
+    # Measured on the r4 artifacts (detector-proposal-trained flagship +
+    # input_norm fix): native J&F 0.950 on this tree (model-res 0.962;
+    # clean-render full system 0.960 over 6 seqs). Gate = measured - 0.05
+    # margin (VERDICT r3 weak #6: the old 0.8 gate would pass a
+    # 0.97 -> 0.82 regression silently).
+    assert summary["J&F"] > 0.90, summary
     # PNGs written at model resolution; scoring happened at native 480p
     png = np.asarray(Image.open(os.path.join(out, "seq0", "00000.png")))
     assert png.shape == (256, 448)
