@@ -17,6 +17,10 @@ Usage:
   (also importable: `load_torch_resnet(state_dict, stage_sizes)`)
 
 The .pth may be a raw state_dict or a checkpoint dict containing one.
+Torch/COCO-lineage weights expect ImageNet-normalized inputs: run the DMM
+with `--set model.input_norm=imagenet` (and extract_proposals with
+`--input-norm imagenet`) — the in-repo raw01 default silently degrades
+imported backbones just like raw weights degrade under imagenet inputs.
 Verification: tools is covered by tests/test_weight_import.py, which
 builds a torch-like state dict from random arrays, imports it, and checks
 flax forward == a reference numpy conv/bn pipeline on the stem.
