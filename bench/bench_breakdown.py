@@ -75,13 +75,44 @@ def main():
         return resolve_labels(out.logits, tv, (H, W),
                               use_pallas=cfg.matching.use_pallas), st
 
+    def dec_prefix(stop):
+        # cumulative prefix ENDING inside the decoder (stop_at) — the
+        # intra-decoder breakdown (BENCH_DECODER=1). Mirrors
+        # decode_from_assignment's aggregate + decoder dispatch.
+        def run(m, frame, pm, pv, tf_, tv, state):
+            feats, X = m.match_assignment(frame, pm, pv, tf_, tv, state)
+            pmg = _to_mask_grid(pm.astype(state.template_masks.dtype),
+                                mask_hw(cfg))
+            A = m.aggregate(X, pmg, tv)
+            out_hw = (mask_hw(cfg) if cfg.model.logits_res == "mask"
+                      else (H, W))
+            x, st = m.decoder(feats, A, state.decoder_state, out_hw=out_hw,
+                              stop_at=stop)
+            return x.astype(jnp.float32).sum(), st
+
+        def fn(frame, pm, pv, tf_, tv, state):
+            return model.apply(variables, frame, pm, pv, tf_, tv, state,
+                               method=run)
+        return fn
+
     args = (frame, pm, pv, tf_, tv, state)
     print(f"B={B} image={H}x{W} M={M} N={N} mask_res={cfg.model.mask_res} "
           f"backend={jax.default_backend()}")
+    stages = [("backbone+proj", backbone), ("(+)pool/cost/match", match),
+              ("(+)aggregate", agg), ("(+)decoder", decoder),
+              ("(+)resolve = FULL", full)]
+    if os.environ.get("BENCH_DECODER"):
+        # intra-decoder prefixes (models/decoder.py stop_at)
+        stages = [("(+)agg", agg),
+                  ("(+)dec.shared", dec_prefix("shared")),
+                  ("(+)dec.proj", dec_prefix("proj")),
+                  ("(+)dec.gru", dec_prefix("gru")),
+                  ("(+)dec.obj_c4", dec_prefix("obj_c4")),
+                  ("(+)dec.obj_c3", dec_prefix("obj_c3")),
+                  ("(+)dec.obj_c2", dec_prefix("obj_c2")),
+                  ("(+)dec.out = decoder", decoder)]
     prev = (0.0, 0.0, 0.0)
-    for name, fn in [("backbone+proj", backbone), ("(+)pool/cost/match", match),
-                     ("(+)aggregate", agg), ("(+)decoder", decoder),
-                     ("(+)resolve = FULL", full)]:
+    for name, fn in stages:
         # Repeat the prefix INSIDE one jit (scan over perturbed inputs):
         # per-dispatch timing is hopeless on the tunnel backend — dispatch
         # overhead swings 0.5-9 ms between sessions and adds to EVERY

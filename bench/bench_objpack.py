@@ -73,7 +73,7 @@ def main():
         return k
 
     rng = np.random.RandomState(0)
-    for stride in (4, 8):
+    for stride in (4, 8, 32):
         h, w = H // stride, W // stride
         for g in (16, 32):
             flops = 2 * B * M * h * w * 9 * g * g      # the real math
@@ -99,6 +99,17 @@ def main():
             k_fm = jnp.asarray(blockdiag(k_g, M), dt)
             k_fat = jnp.asarray(rng.randn(3, 3, M * g, M * g) * 0.01, dt)
 
+            # rowfold: objects into the ROW axis with one zero separator
+            # row per object — (B*M, h, w, g) -> (B, M*(h+1), w, g).
+            # A 3x3 SAME conv sees zeros across the seam exactly like its
+            # own zero padding, so slicing each object's h rows back out
+            # is EXACT math; batch drops 256 -> 16 (tests whether the
+            # flat-vs-stride conv times are per-batch-element overhead).
+            x_rf = jnp.asarray(
+                np.pad(np.asarray(x_bm, np.float32).reshape(B, M, h, w, g),
+                       ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+                .reshape(B, M * (h + 1), w, g), dt)
+
             # one-time numerics check: packed layouts == obj_batch
             ref = np.asarray(conv(x_bm, k_g), np.float32)
             ref_pk = (ref.reshape(B, M, h, w, g).transpose(0, 2, 3, 1, 4)
@@ -108,6 +119,11 @@ def main():
                             ("fat_masked", conv(x_pk, k_fm))):
                 err = np.max(np.abs(np.asarray(out, np.float32) - ref_pk))
                 assert err < 0.15, (nm, stride, g, err)   # bf16 conv tol
+            out_rf = np.asarray(conv(x_rf, k_g), np.float32) \
+                .reshape(B, M, h + 1, w, g)[:, :, :h] \
+                .reshape(B * M, h, w, g)
+            err = np.max(np.abs(out_rf - ref))
+            assert err < 0.15, ("rowfold", stride, g, err)
 
             rows = [
                 ("obj_batch", timeit(lambda a: conv(a, k_g), x_bm), flops),
@@ -120,6 +136,8 @@ def main():
                  flops * M),
                 ("fat_ref", timeit(lambda a: conv(a, k_fat), x_pk),
                  flops * M),
+                ("rowfold", timeit(lambda a: conv(a, k_g), x_rf),
+                 flops),
             ]
             for name, ms, fl in rows:
                 print(json.dumps({

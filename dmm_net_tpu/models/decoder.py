@@ -30,8 +30,37 @@ def _resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, x.shape[:-3] + hw + x.shape[-1:], method="bilinear")
 
 
+class _ConvParams(nn.Module):
+    """Parameters of an ``nn.Conv`` (same tree: kernel + bias, same init)
+    without the conv call — lets the owner fuse several convs over the
+    same input into one ``lax.conv`` with concatenated kernels while
+    keeping the checkpoint layout of the separate-conv formulation."""
+
+    features: int
+    in_features: int
+    kernel: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, self.in_features, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class ConvGRUCell(nn.Module):
-    """Convolutional GRU over NHWC maps."""
+    """Convolutional GRU over NHWC maps.
+
+    The z and r gates read the same ``concat([x, h])`` input, and a conv
+    is linear in its output channels — so both gates run as ONE conv with
+    kernels concatenated along cout (exact same math and the exact
+    param tree of the two-conv formulation; shipped checkpoints load
+    unchanged). The GRU runs at batch B*M on tiny stride-32 maps where
+    per-op overhead, not FLOPs, is the cost (bench/bench_convmarginal.py),
+    so one fewer conv per frame is a real win."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -39,12 +68,23 @@ class ConvGRUCell(nn.Module):
 
     @nn.compact
     def __call__(self, h, x):
-        conv = lambda name: nn.Conv(self.features, self.kernel, name=name,  # noqa: E731
-                                    dtype=self.dtype, param_dtype=jnp.float32)
+        f = self.features
         xh = jnp.concatenate([x, h], axis=-1)
-        z = nn.sigmoid(conv("gate_z")(xh))
-        r = nn.sigmoid(conv("gate_r")(xh))
-        cand = nn.tanh(conv("cand")(jnp.concatenate([x, r * h], axis=-1)))
+        cin = xh.shape[-1]
+        kz, bz = _ConvParams(f, cin, self.kernel, name="gate_z")()
+        kr, br = _ConvParams(f, cin, self.kernel, name="gate_r")()
+        kc, bc = _ConvParams(f, cin, self.kernel, name="cand")()
+
+        def conv(v, k, b):
+            y = jax.lax.conv_general_dilated(
+                v.astype(self.dtype), k.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + b.astype(self.dtype)
+
+        zr = nn.sigmoid(conv(xh, jnp.concatenate([kz, kr], axis=-1),
+                             jnp.concatenate([bz, br])))
+        z, r = zr[..., :f], zr[..., f:]
+        cand = nn.tanh(conv(jnp.concatenate([x, r * h], axis=-1), kc, bc))
         return (1.0 - z) * h + z * cand
 
 
@@ -259,7 +299,14 @@ class SharedFPNDecoder(nn.Module):
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
                  state: Optional[jnp.ndarray] = None,
-                 out_hw: Optional[Tuple[int, int]] = None):
+                 out_hw: Optional[Tuple[int, int]] = None,
+                 stop_at: Optional[str] = None):
+        # stop_at (static; profiling only — bench/bench_breakdown.py's
+        # intra-decoder prefixes): return (x, state) right after the named
+        # block, one of "shared", "proj", "gru", "obj_c4", "obj_c3",
+        # "obj_c2". Zero cost when None (Python-level branch at trace
+        # time); outputs are NOT the decoder contract, just live tensors
+        # for the bench's DCE guard.
         # see RefinementDecoder: masks may arrive at stride-4 residency;
         # the caller passes the true output size
         B, M = agg_masks.shape[:2]
@@ -286,8 +333,12 @@ class SharedFPNDecoder(nn.Module):
             x = nn.relu(conv(f_l, 3, f"merge_{level}")(x) + lat)
             x = nn.relu(conv(f_l, 3, f"fuse_{level}")(x))
             shared[level] = x
+        if stop_at == "shared":
+            return x, state
         # cheap 1x1 projections f -> g feeding the per-object path
         proj = {k: conv(g, 1, f"toobj_{k}")(v) for k, v in shared.items()}
+        if stop_at == "proj":
+            return sum(p.sum() for p in proj.values()).reshape(1, 1), state
 
         # ---- per-object path: batch B*M at g channels ----------------
         # Frame-shared projections enter per-object convs through
@@ -308,6 +359,8 @@ class SharedFPNDecoder(nn.Module):
             new_state = x.reshape((B, M) + h32 + (g,)).astype(jnp.float32)
         else:
             new_state = jnp.zeros((B, M) + h32 + (g,), jnp.float32)
+        if stop_at == "gru":
+            return x, new_state
 
         for level in levels:
             g_l = g
@@ -326,6 +379,8 @@ class SharedFPNDecoder(nn.Module):
                 x = x + nn.relu(conv(g_l, 1, f"obj_fuse_{level}")(x))
             elif self.obj_fuse != "none":
                 raise ValueError(f"unknown obj_fuse {self.obj_fuse!r}")
+            if stop_at == f"obj_{level}":
+                return x, new_state
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
                          name="out")(x)                       # (B*M, H/4, W/4, 1)

@@ -177,3 +177,54 @@ def test_obj_fuse_unknown_rejected():
     dec = SharedFPNDecoder(features=16, obj_features=8, obj_fuse="bogus")
     with pytest.raises(ValueError, match="obj_fuse"):
         dec.init(jax.random.PRNGKey(0), feats, agg, None)
+
+
+def test_convgru_fused_gates_match_separate_convs():
+    """ConvGRUCell computes z and r with ONE conv over concatenated
+    kernels (per-op overhead, not FLOPs, prices the GRU's tiny maps —
+    bench/bench_convmarginal.py). The math and the param tree must both
+    equal the naive two-nn.Conv formulation, so shipped checkpoints load
+    and reproduce bit-comparable outputs."""
+    from dmm_net_tpu.models.decoder import ConvGRUCell
+    import flax.linen as nn
+
+    class NaiveGRU(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self, h, x):
+            conv = lambda name: nn.Conv(self.features, (3, 3), name=name)  # noqa: E731
+            xh = jnp.concatenate([x, h], axis=-1)
+            z = nn.sigmoid(conv("gate_z")(xh))
+            r = nn.sigmoid(conv("gate_r")(xh))
+            cand = nn.tanh(conv("cand")(jnp.concatenate([x, r * h], -1)))
+            return (1.0 - z) * h + z * cand
+
+    rng = np.random.RandomState(0)
+    f, B, H, W = 8, 2, 6, 7
+    x = jnp.asarray(rng.randn(B, H, W, f), jnp.float32)
+    h = jnp.asarray(rng.randn(B, H, W, f), jnp.float32)
+    naive = NaiveGRU(f)
+    vars_ = naive.init(jax.random.PRNGKey(1), h, x)
+    fused = ConvGRUCell(f)
+    # identical param TREE: the naive variables must load as-is
+    fused_shapes = jax.tree_util.tree_map(
+        jnp.shape, fused.init(jax.random.PRNGKey(2), h, x))
+    assert fused_shapes == jax.tree_util.tree_map(jnp.shape, vars_)
+    out_naive = naive.apply(vars_, h, x)
+    out_fused = fused.apply(vars_, h, x)
+    np.testing.assert_allclose(np.asarray(out_naive), np.asarray(out_fused),
+                               atol=1e-6)
+
+
+def test_shared_decoder_stop_at_prefixes_run():
+    """stop_at early exits (profiling support for bench_breakdown's
+    intra-decoder mode) must execute with full variables and return
+    finite tensors; stop_at=None must be unaffected."""
+    dec, vars_, feats, agg = _build("shared")
+    full, _ = dec.apply(vars_, feats, agg, None)
+    for stop in ["shared", "proj", "gru", "obj_c4", "obj_c3", "obj_c2"]:
+        x, _ = dec.apply(vars_, feats, agg, None, stop_at=stop)
+        assert np.isfinite(np.asarray(x, np.float32)).all(), stop
+    again, _ = dec.apply(vars_, feats, agg, None, stop_at=None)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(again))
