@@ -104,8 +104,11 @@ def main():
     if os.environ.get("BENCH_DECODER"):
         # intra-decoder prefixes (models/decoder.py stop_at)
         stages = [("(+)agg", agg),
+                  ("(+)dec.shared_c4", dec_prefix("shared_c4")),
+                  ("(+)dec.shared_c3", dec_prefix("shared_c3")),
                   ("(+)dec.shared", dec_prefix("shared")),
                   ("(+)dec.proj", dec_prefix("proj")),
+                  ("(+)dec.obj_head", dec_prefix("obj_head")),
                   ("(+)dec.gru", dec_prefix("gru")),
                   ("(+)dec.obj_c4", dec_prefix("obj_c4")),
                   ("(+)dec.obj_c3", dec_prefix("obj_c3")),

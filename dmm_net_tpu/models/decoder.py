@@ -27,7 +27,25 @@ import jax.numpy as jnp
 
 
 def _resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    # NOTE (r4 refutation): an exact elementwise scale-2 fast path
+    # (shifted blends + interleave instead of resize's spatial-contraction
+    # dot_generals) was built and measured through the production bench:
+    # 2246 -> 1909 fps, i.e. jax.image.resize's matmul lowering BEATS the
+    # slice/concat/stack formulation for the 128-channel upsamples here.
+    # The pathological resizes were the 1-channel MASK ones — fixed by
+    # channel-free residency (_resize_hw3), not by replacing resize.
     return jax.image.resize(x, x.shape[:-3] + hw + x.shape[-1:], method="bilinear")
+
+
+def _resize_hw3(m: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear-resize a channel-free mask stack (..., h, w) on its
+    trailing dims. Same math as _resize on (..., h, w, 1), but the minor
+    dim stays w (lanes ~full) instead of a singleton channel (lanes 1/128
+    occupied — the intra-decoder breakdown measured the (B*M, h, w, 1)
+    mask resizes at ~1.4 ms of a 9 ms step for ~4 MB of real bytes)."""
+    if m.shape[-2:] == hw:
+        return m
+    return jax.image.resize(m, m.shape[:-2] + hw, method="bilinear")
 
 
 class _ConvParams(nn.Module):
@@ -142,11 +160,12 @@ class RefinementDecoder(nn.Module):
             x = jnp.broadcast_to(x[:, None], (B, M) + x.shape[1:])
             return x.reshape((B * M,) + x.shape[2:])
 
-        mask_bm = agg_masks.reshape(B * M, mh, mw, 1).astype(self.dtype)
+        # channel-free mask residency (see _resize_hw3)
+        mask3 = agg_masks.reshape(B * M, mh, mw).astype(self.dtype)
 
         c5 = fold(feats["c5"]).astype(self.dtype)
         h32 = c5.shape[-3:-1]
-        m32 = _resize(mask_bm, h32)
+        m32 = _resize_hw3(mask3, h32)[..., None]
         x = jnp.concatenate([c5, m32], axis=-1)
         x = nn.relu(nn.Conv(f, (3, 3), dtype=self.dtype,
                             param_dtype=jnp.float32, name="head")(x))
@@ -167,13 +186,13 @@ class RefinementDecoder(nn.Module):
         for level in levels:
             skip = fold(feats[level]).astype(self.dtype)
             sk_hw = skip.shape[-3:-1]
-            m_lvl = _resize(mask_bm, sk_hw)
+            m_lvl = _resize_hw3(mask3, sk_hw)[..., None]
             skip = jnp.concatenate([skip, m_lvl], axis=-1)
             x = _UpBlock(f, dtype=self.dtype, name=f"up_{level}")(x, skip)
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="out")(x)                       # (B*M, H/4, W/4, 1)
-        logits = _resize(logits, (H, W))
+                         name="out")(x)[..., 0]               # (B*M, H/4, W/4)
+        logits = _resize_hw3(logits, (H, W))   # channel-free: w in lanes
         return logits.reshape(B, M, H, W), new_state
 
 
@@ -236,15 +255,30 @@ class _SplitConcatConv(nn.Module):
             full = jnp.concatenate([unfold(p, sh) for p, sh in parts], axis=-1)
             return part_conv(full, kernel) + bias
 
-        obj_acc, shared_acc, off = None, None, 0
-        for p, shared in parts:
-            k = kernel[:, :, off:off + p.shape[-1], :]
-            off += p.shape[-1]
-            y = part_conv(p, k)
-            if shared:
-                shared_acc = y if shared_acc is None else shared_acc + y
-            else:
-                obj_acc = y if obj_acc is None else obj_acc + y
+        # ONE conv per {per-object, shared} group, not one per part: conv
+        # is linear in cin, so conv(concat(inputs), concat(kernel slices))
+        # == the sum of the per-part convs — and per-op cost, not FLOPs,
+        # prices the per-object path (bench/bench_convmarginal.py). The
+        # kernel slices are gathered in part order, so the param layout
+        # (and shipped checkpoints) are untouched.
+        bounds, off = [], 0
+        for p, _ in parts:
+            bounds.append((off, off + int(p.shape[-1])))
+            off += int(p.shape[-1])
+
+        def group_conv(flag):
+            idx = [i for i, (_, sh) in enumerate(parts) if sh == flag]
+            if not idx:
+                return None
+            xs = [parts[i][0] for i in idx]
+            ks = [kernel[:, :, bounds[i][0]:bounds[i][1], :] for i in idx]
+            x = xs[0] if len(xs) == 1 else jnp.concatenate(
+                [v.astype(self.dtype) for v in xs], axis=-1)
+            k = ks[0] if len(ks) == 1 else jnp.concatenate(ks, axis=2)
+            return part_conv(x, k)
+
+        obj_acc = group_conv(False)
+        shared_acc = group_conv(True)
         if obj_acc is None:
             out = jnp.broadcast_to((shared_acc + bias)[:, None],
                                    (B, M) + shared_acc.shape[1:])
@@ -333,6 +367,8 @@ class SharedFPNDecoder(nn.Module):
             x = nn.relu(conv(f_l, 3, f"merge_{level}")(x) + lat)
             x = nn.relu(conv(f_l, 3, f"fuse_{level}")(x))
             shared[level] = x
+            if stop_at == f"shared_{level}":
+                return x, state
         if stop_at == "shared":
             return x, state
         # cheap 1x1 projections f -> g feeding the per-object path
@@ -345,11 +381,16 @@ class SharedFPNDecoder(nn.Module):
         # _SplitConcatConv: the shared kernel slice runs at batch B and is
         # broadcast-added, so proj[level] is never folded to (B*M, ...) —
         # checkpoint-compatible with the naive concat formulation.
-        mask_bm = agg_masks.reshape(B * M, mh, mw, 1).astype(self.dtype)
+        # channel-free (B*M, h, w) residency for the soft masks: every
+        # resize keeps w in the lanes; the singleton channel appears only
+        # at each concat site (see _resize_hw3)
+        mask3 = agg_masks.reshape(B * M, mh, mw).astype(self.dtype)
         h32 = proj["c5"].shape[-3:-1]
-        m32 = _resize(mask_bm, h32)
+        m32 = _resize_hw3(mask3, h32)[..., None]
         x = nn.relu(_SplitConcatConv(g, dtype=self.dtype, name="obj_head")(
             [(proj["c5"], True), (m32, False)], B, M))
+        if stop_at == "obj_head":
+            return x, state
 
         if self.recurrent:
             if state is None:
@@ -368,7 +409,7 @@ class SharedFPNDecoder(nn.Module):
                 g_l = self.obj_features_fine
             hw = proj[level].shape[-3:-1]
             x = _resize(x, hw)
-            m_lvl = _resize(mask_bm, hw)
+            m_lvl = _resize_hw3(mask3, hw)[..., None]
             x = nn.relu(
                 _SplitConcatConv(g_l, dtype=self.dtype,
                                  name=f"obj_merge_{level}")(
@@ -383,6 +424,6 @@ class SharedFPNDecoder(nn.Module):
                 return x, new_state
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="out")(x)                       # (B*M, H/4, W/4, 1)
-        logits = _resize(logits, (H, W))
+                         name="out")(x)[..., 0]               # (B*M, H/4, W/4)
+        logits = _resize_hw3(logits, (H, W))   # channel-free: w in lanes
         return logits.reshape(B, M, H, W), new_state

@@ -228,3 +228,23 @@ def test_shared_decoder_stop_at_prefixes_run():
         assert np.isfinite(np.asarray(x, np.float32)).all(), stop
     again, _ = dec.apply(vars_, feats, agg, None, stop_at=None)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(again))
+
+
+def test_resize_hw3_matches_rank4_resize():
+    """Masks travel channel-free (B*M, h, w) through the decoder (the
+    1-channel-minor layout made mask resizes ~1.4 ms of a 9 ms step);
+    _resize_hw3 must equal the rank-4 singleton-channel bilinear resize
+    in both directions (up and down), f32 and bf16."""
+    from dmm_net_tpu.models.decoder import _resize, _resize_hw3
+    rng = np.random.RandomState(3)
+    for shape, hw in [((6, 16, 28), (8, 14)), ((6, 8, 14), (32, 56)),
+                      ((2, 5, 7), (9, 13))]:
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.rand(*shape), dt)
+            got = _resize_hw3(x, hw)
+            assert got.dtype == dt
+            want = _resize(x[..., None], hw)[..., 0]
+            tol = 1e-6 if dt == jnp.float32 else 2e-2
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32),
+                atol=tol)
