@@ -153,21 +153,24 @@ def test_compact_proposals_match_full_masks():
     assert (r1["assignments"].argmax(-1) == r2["assignments"].argmax(-1)).all()
 
 
-def test_uint8_frames_are_normalized_on_device():
-    """uint8 frames must produce the same features as pre-normalized
-    float frames (engine H2D stays 1 byte/px)."""
-    import jax
-    from dmm_net_tpu.data.pipeline import normalize_frames
+def test_uint8_frames_match_float01_on_device():
+    """uint8 frames must produce the same features as the equivalent raw
+    [0,1] float frames (engine H2D stays 1 byte/px; the /255 happens on
+    device). Under the input_norm contract (models/dmm.extract_features,
+    r4 fix) BOTH dtypes are raw [0,1] — the old version of this test
+    asserted uint8 == ImageNet-normalized floats, i.e. the exact
+    train/serve skew the day-one drill caught (J&F 0.976 -> 0.29).
+    Convention-level coverage lives in tests/test_input_norm.py."""
     from dmm_net_tpu.models.dmm import DMMNet
 
     cfg, model, variables, seq, *_ = _setup(T=1)
     u8 = (np.clip(seq["frames"][:1], 0, 1) * 255).astype(np.uint8)
     f_u8 = model.apply(variables, jnp.asarray(u8),
                        method=DMMNet.extract_features)
-    f_norm = model.apply(variables, normalize_frames(jnp.asarray(u8)),
-                         method=DMMNet.extract_features)
+    f01 = model.apply(variables, jnp.asarray(u8.astype(np.float32) / 255.0),
+                      method=DMMNet.extract_features)
     np.testing.assert_allclose(np.asarray(f_u8["emb"]),
-                               np.asarray(f_norm["emb"]), atol=1e-5)
+                               np.asarray(f01["emb"]), atol=1e-5)
 
 
 def test_live_from_gates_mid_video_objects():
