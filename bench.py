@@ -104,8 +104,13 @@ def main():
     # generated ON DEVICE (utils/bench_inputs.py; shared across all benches)
     from dmm_net_tpu.utils.bench_inputs import make_frame_inputs
     frame, pm, pv, tf_, tv, state = make_frame_inputs(cfg, B)
-    variables = model.init(jax.random.PRNGKey(0), frame, pm, pv, tf_, tv,
-                           state)
+    # init on host CPU (shape-only; values discarded) — eager init through
+    # the axon relay is thousands of per-op RPCs (utils/hostinit)
+    from dmm_net_tpu.utils.hostinit import host_init
+    _z = lambda t: jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), t)
+    variables = host_init(lambda: model.init(
+        jax.random.PRNGKey(0), _z(frame), _z(pm), _z(pv), _z(tf_), _z(tv),
+        _z(state)))
 
     # ---- compiled Pallas-vs-jnp matcher parity (TPU only) --------------
     parity = None

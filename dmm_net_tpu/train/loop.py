@@ -16,6 +16,7 @@ from typing import Any, Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -25,6 +26,7 @@ from dmm_net_tpu.config import Config
 from dmm_net_tpu.models.dmm import DMMNet, init_frame_state
 from dmm_net_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dmm_net_tpu.train.losses import clip_loss
+from dmm_net_tpu.utils.hostinit import host_init
 
 
 class TrainState(struct.PyTreeNode):
@@ -62,12 +64,22 @@ def create_train_state(cfg: Config, rng: jax.Array,
     frames = sample_batch["frames"]
     B, T, H, W, _ = frames.shape
     M = sample_batch["tmpl_masks"].shape[1]
-    state0 = init_frame_state(cfg, jnp.zeros((B, M, H, W), jnp.float32))
-    variables = model.init(
-        rng, frames[:, 0], sample_batch["prop_masks"][:, 0],
-        sample_batch["prop_valid"][:, 0],
-        jnp.zeros((B, M, cfg.model.feature_dim), jnp.float32),
-        sample_batch["tmpl_valid"], state0)
+
+    # Eager flax init runs the full un-jitted forward; on the axon relay
+    # that is thousands of per-op RPCs (a measured 25-min stall). Run it
+    # on the host CPU backend and ship the variables once — the forward's
+    # values are discarded, only the param tree matters (utils/hostinit).
+    rng_host = np.asarray(rng)
+    def _init():
+        state0 = init_frame_state(cfg, jnp.zeros((B, M, H, W), jnp.float32))
+        return model.init(
+            jnp.asarray(rng_host), np.asarray(frames[:, 0]),
+            np.asarray(sample_batch["prop_masks"][:, 0]),
+            np.asarray(sample_batch["prop_valid"][:, 0]),
+            jnp.zeros((B, M, cfg.model.feature_dim), jnp.float32),
+            np.asarray(sample_batch["tmpl_valid"]), state0)
+
+    variables = host_init(_init)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg)

@@ -160,14 +160,23 @@ def main():
     M = cfg.matching.max_templates
     N = cfg.matching.max_proposals
 
-    # init (random) variables only when no msgpack blob supplied them
+    # init (random) variables only when no msgpack blob supplied them —
+    # on host CPU (eager init over the axon relay stalls; utils/hostinit)
     if variables is None:
-        state0 = init_frame_state(cfg, jnp.zeros((1, M, H, W), jnp.float32))
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, H, W, 3)),
-                               jnp.zeros((1, N, H, W)), jnp.ones((1, N), bool),
-                               jnp.zeros((1, M, cfg.model.feature_dim)),
-                               jnp.ones((1, M), bool), state0)
+        from dmm_net_tpu.utils.hostinit import host_init
+
+        def _init():
+            state0 = init_frame_state(
+                cfg, jnp.zeros((1, M, H, W), jnp.float32))
+            return model.init(jax.random.PRNGKey(0),
+                              np.zeros((1, H, W, 3), np.float32),
+                              np.zeros((1, N, H, W), np.float32),
+                              np.ones((1, N), bool),
+                              np.zeros((1, M, cfg.model.feature_dim),
+                                       np.float32),
+                              np.ones((1, M), bool), state0)
+
+        variables = host_init(_init)
     if args.ckpt and not msgpack_ckpt:
         from dmm_net_tpu.utils.checkpoint import Checkpointer
         import orbax.checkpoint as ocp

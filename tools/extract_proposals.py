@@ -64,8 +64,11 @@ def main():
                      num_classes=args.num_classes,
                      score_thresh=args.score_thresh,
                      max_detections=args.max_detections)
-    img0 = jnp.zeros((1, H, W, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img0)
+    # host-CPU init (shape-only; eager init over the axon relay stalls —
+    # see utils/hostinit)
+    from dmm_net_tpu.utils.hostinit import host_init
+    variables = host_init(lambda: model.init(
+        jax.random.PRNGKey(0), np.zeros((1, H, W, 3), np.float32)))
     if args.params:
         from flax import serialization
         with open(args.params, "rb") as f:

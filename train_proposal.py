@@ -118,8 +118,14 @@ def main():
             variables = serialization.msgpack_restore(f.read())
         log.info("initialized from %s", args.init)
     else:
-        img0, *_ = sample(0)
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img0))
+        # host-CPU init: flax init runs the whole un-jitted detection
+        # forward eagerly — through the axon relay that is thousands of
+        # per-op RPCs (measured: a 25-min pre-step stall). The values are
+        # discarded; run it on host and ship params once (utils/hostinit).
+        from dmm_net_tpu.utils.hostinit import host_init
+        img0np, *_ = sample(0)
+        variables = host_init(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(img0np)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adamw(args.lr, weight_decay=1e-5)
