@@ -339,8 +339,10 @@ def fused_pool_cost_match(emb: jnp.ndarray, prop_masks_pool: jnp.ndarray,
     """
     if interpret is None:
         # Pallas TPU kernels only compile on TPU; everywhere else (CPU
-        # tests, fake-device meshes) fall back to interpreter mode.
-        interpret = jax.default_backend() != "tpu"
+        # tests, fake-device meshes, host_init's default_device(cpu)
+        # context) fall back to interpreter mode.
+        from dmm_net_tpu.kernels import auto_interpret
+        interpret = auto_interpret()
     B, P, D = emb.shape
     M = tmpl_masks_cost.shape[1]
     N = prop_masks_pool.shape[1]

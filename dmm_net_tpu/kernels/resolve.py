@@ -121,8 +121,10 @@ def fused_resolve_upsample(logits: jnp.ndarray, tmpl_valid: jnp.ndarray,
     full resolution, without materializing upsampled logits."""
     if interpret is None:
         # Pallas TPU kernels only compile on TPU; everywhere else (CPU
-        # tests, fake-device meshes) fall back to interpreter mode.
-        interpret = jax.default_backend() != "tpu"
+        # tests, fake-device meshes, host_init's default_device(cpu)
+        # context) fall back to interpreter mode.
+        from dmm_net_tpu.kernels import auto_interpret
+        interpret = auto_interpret()
     B, M, h, w = logits.shape
     H, W = out_hw
     bg_logit = float(math.log(bg_threshold / (1.0 - bg_threshold)))

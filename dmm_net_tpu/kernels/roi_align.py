@@ -68,7 +68,8 @@ def roi_align_pallas(feats: jnp.ndarray, boxes: jnp.ndarray,
                      interpret: bool | None = None) -> jnp.ndarray:
     """feats (H, W, C), boxes (K, 4) -> (K, oh, ow, C)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from dmm_net_tpu.kernels import auto_interpret
+        interpret = auto_interpret()
     H, W, C = feats.shape
     K = boxes.shape[0]
     oh, ow = out_size

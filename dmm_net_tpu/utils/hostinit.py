@@ -30,16 +30,32 @@ import numpy as np
 def host_init(init_thunk: Callable[[], object], device=None):
     """Run ``init_thunk`` (a zero-arg closure over ``model.init(...)``)
     eagerly on the host CPU backend, then place the resulting pytree on
-    ``device`` (default: the process's default device) via numpy.
+    ``device`` via numpy.
 
-    Returns the variables tree, leaves on the target device. When the
-    default platform already is CPU (tests), the tree is returned as
-    produced — no copy."""
+    ``device`` may be a ``jax.Device``, a ``jax.sharding.Sharding`` (e.g.
+    a replicated ``NamedSharding`` over a mesh — preferred for multi-chip,
+    so the jitted step's in_shardings match with no resharding), or None
+    (default: the process's default device).
+
+    Returns the variables tree, leaves on the target device/sharding. When
+    the target platform already is CPU (tests), the tree is returned as
+    produced — no copy. Pallas kernels inside the init forward must pick
+    interpret mode from ``kernels.auto_interpret()`` (which respects the
+    ``jax.default_device`` context), not ``jax.default_backend()`` — the
+    latter still reports "tpu" in here, which crashed every use_pallas TPU
+    entry point in round 4 (pinned by tests/test_hostinit.py)."""
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         variables = init_thunk()
-    target = device or jax.devices()[0]
-    if target.platform == "cpu":
+    target = device if device is not None else jax.devices()[0]
+    platforms = (
+        {d.platform for d in target.device_set}
+        if isinstance(target, jax.sharding.Sharding)
+        else {target.platform}
+    )
+    if platforms == {"cpu"}:
+        if isinstance(target, jax.sharding.Sharding):
+            return jax.device_put(variables, target)
         return variables
     host_tree = jax.tree.map(np.asarray, variables)
     return jax.device_put(host_tree, target)

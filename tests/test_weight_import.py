@@ -104,3 +104,56 @@ def test_imported_full_forward_runs_and_finite():
                         jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32))
     for k, v in feats.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_pth_cli_roundtrip_released_checkpoint_shape(tmp_path):
+    """Day-one dress rehearsal (VERDICT r4 next #8): a full
+    released-checkpoint-shaped .pth — torchvision R-50 key layout wrapped
+    in a {"state_dict": ...} dict with DataParallel "module." prefixes,
+    exactly what reference-era torch.save'd checkpoints look like —
+    round-tripped through the REAL tools/import_torch_weights.py CLI into
+    msgpack, then deserialized and forwarded through the flax backbone."""
+    import os
+    import subprocess
+    import sys
+
+    import torch
+    from flax import serialization
+
+    rng = np.random.RandomState(7)
+    sd = _fake_torch_resnet_sd((3, 4, 6, 3), True, rng)
+    # released-checkpoint dressing: module. prefixes + wrapper dict with
+    # non-tensor metadata entries the importer must skip
+    ckpt = {"state_dict": {f"module.{k}": torch.from_numpy(v)
+                           for k, v in sd.items()},
+            "epoch": 12, "arch": "resnet50"}
+    pth = str(tmp_path / "dmm_release.pth")
+    out = str(tmp_path / "backbone.msgpack")
+    torch.save(ckpt, pth)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "tools/import_torch_weights.py", "--pth", pth,
+         "--out", out, "--arch", "resnet50"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "M params" in r.stdout
+
+    with open(out, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    model = ResNet50(dtype=jnp.float32)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert _tree_shapes(tree["params"]) == _tree_shapes(
+        jax.tree.map(np.asarray, want["params"]))
+    assert _tree_shapes(tree["batch_stats"]) == _tree_shapes(
+        jax.tree.map(np.asarray, want["batch_stats"]))
+    # numeric spot check: the msgpack values ARE the .pth values
+    np.testing.assert_array_equal(
+        tree["params"]["conv_init"]["kernel"],
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    feats = model.apply(tree, jnp.asarray(rng.randn(1, 64, 64, 3),
+                                          jnp.float32))
+    for k, v in feats.items():
+        assert np.isfinite(np.asarray(v)).all(), k

@@ -43,3 +43,9 @@ python examples/train_and_eval_synthetic.py --size 256 --width 448 \
 python examples/full_system_synthetic.py --dmm runs/dmm448/dmm.msgpack \
   --mrcnn runs/proposal_video448/mrcnn.msgpack --mrcnn-classes 4 \
   --eval-seqs 6 --frames 6 --min-jf "${SYS_MIN_JF:-0.85}" --min-recall 0.9
+
+# Drill on the artifacts just produced — REQUIRE_ARTIFACTS turns the
+# drill's missing-artifact skip into a hard failure, so this script
+# cannot exit green unless the drill actually RAN and PASSED
+# (VERDICT r4 weak #4: the flag existed but nothing ever set it).
+REQUIRE_ARTIFACTS=1 python -m pytest tests/test_dayone_cli.py -q
