@@ -105,12 +105,15 @@ def main():
     from dmm_net_tpu.utils.bench_inputs import make_frame_inputs
     frame, pm, pv, tf_, tv, state = make_frame_inputs(cfg, B)
     # init on host CPU (shape-only; values discarded) — eager init through
-    # the axon relay is thousands of per-op RPCs (utils/hostinit)
+    # the axon relay is thousands of per-op RPCs (utils/hostinit). B=1:
+    # param shapes are batch-independent and the eager CPU forward is
+    # minutes at B=16 flagship scale.
     from dmm_net_tpu.utils.hostinit import host_init
+    frame1, pm1, pv1, tf1, tv1, state1 = make_frame_inputs(cfg, 1)
     _z = lambda t: jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), t)
     variables = host_init(lambda: model.init(
-        jax.random.PRNGKey(0), _z(frame), _z(pm), _z(pv), _z(tf_), _z(tv),
-        _z(state)))
+        jax.random.PRNGKey(0), _z(frame1), _z(pm1), _z(pv1), _z(tf1),
+        _z(tv1), _z(state1)))
 
     # ---- compiled Pallas-vs-jnp matcher parity (TPU only) --------------
     parity = None

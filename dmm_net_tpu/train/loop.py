@@ -58,8 +58,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg: Config, rng: jax.Array,
-                       sample_batch: dict) -> TrainState:
-    """Initialize params from one (host) sample batch."""
+                       sample_batch: dict,
+                       mesh: Optional[Mesh] = None) -> TrainState:
+    """Initialize params from one (host) sample batch.
+
+    With a ``mesh``, the variables are placed on a replicated
+    ``NamedSharding`` over it, matching ``make_train_step``'s explicit
+    ``in_shardings`` — so the first step neither reshards a tree
+    hard-committed to ``jax.devices()[0]`` nor trips a device-assignment
+    mismatch on multi-host topologies (ADVICE r4 #2)."""
     model = DMMNet(cfg)
     frames = sample_batch["frames"]
     B, T, H, W, _ = frames.shape
@@ -79,7 +86,8 @@ def create_train_state(cfg: Config, rng: jax.Array,
             jnp.zeros((B, M, cfg.model.feature_dim), jnp.float32),
             np.asarray(sample_batch["tmpl_valid"]), state0)
 
-    variables = host_init(_init)
+    target = replicated_sharding(mesh) if mesh is not None else None
+    variables = host_init(_init, device=target)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg)

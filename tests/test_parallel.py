@@ -328,3 +328,27 @@ def test_inference_has_no_collectives_train_has_allreduce(devices):
     step = make_train_step(cfg, mesh=mesh)
     hlo_train = step.lower(state, shard_batch(batch, mesh)).compile().as_text()
     assert "all-reduce" in hlo_train, "train step lost the gradient all-reduce"
+
+
+def test_create_train_state_mesh_places_replicated(devices):
+    """create_train_state(mesh=...) must place the variables on the
+    replicated NamedSharding that make_train_step declares as its
+    in_shardings — not hard-commit them to jax.devices()[0]
+    (ADVICE r4 medium #2)."""
+    from dmm_net_tpu.parallel.mesh import replicated_sharding
+
+    cfg = _cfg()
+    batch = {k: np.asarray(v) for k, v in synthetic_clip_batch(
+        seed=5, batch=8, T=2, H=64, W=64, num_objects=2,
+        num_proposals=cfg.matching.max_proposals,
+        pad_objects=cfg.matching.max_templates).items()}
+    mesh = make_mesh(data=8, model=1)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch, mesh=mesh)
+    repl = replicated_sharding(mesh)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_equivalent_to(repl, ndim=leaf.ndim), (
+        leaf.sharding, repl)
+    # and the sharded step consumes it without resharding errors
+    step = make_train_step(cfg, mesh=mesh)
+    state2, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))

@@ -109,7 +109,8 @@ def main():
     else:
         raise SystemExit(f"unknown dataset {cfg.data.dataset!r}")
 
-    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed), sample)
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                               sample, mesh=mesh)
     if args.resume:
         state = ckpt.restore(state)
         log.info("resumed at step %d", int(state.step))
