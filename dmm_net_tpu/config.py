@@ -129,7 +129,12 @@ class ModelConfig:
     # base 0.8827 held-out J&F, and bench.py at p3/B=16 went 1662 ->
     # 2158 fps (obj_fuse="none" is NOT safe: one eval sequence collapsed
     # to 0.0 in the same A/B). Production presets (p3, p4) taper to 16.
-    decoder_obj_fuse: str = "conv3"
+    # obj_fuse="conv1" adopted r5: paired 2k-step A/B scored 0.8982 vs
+    # conv3's 0.8993 with a sequence-for-sequence identical profile (the
+    # two hard seqs are hard under both), +6.7% bench fps (r4 sweep) and
+    # +11% train steps/s. Checkpoints embed their config, so conv3
+    # artifacts keep loading as conv3.
+    decoder_obj_fuse: str = "conv1"
     decoder_obj_dim_fine: int = 0
     # SHARED-path fine-level taper (A/B lever, r4): the frame-shared FPN's
     # merge/fuse 3x3 convs at the finest (stride-4) level are the largest
