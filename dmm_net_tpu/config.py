@@ -136,6 +136,14 @@ class ModelConfig:
     # artifacts keep loading as conv3.
     decoder_obj_fuse: str = "conv1"
     decoder_obj_dim_fine: int = 0
+    # r5 lane-utilization levers (models/decoder.py SharedFPNDecoder):
+    # merge-conv kernel at the finest per-object level (1 = pointwise),
+    # and "c3" to stop the per-object loop at stride 8, recovering
+    # stride-4 detail via the shared-basis dynamic-mix head (detail_dim
+    # basis channels). Defaults = shipped architecture.
+    decoder_obj_merge_fine_k: int = 3
+    decoder_obj_fine_level: str = ""
+    decoder_detail_dim: int = 16
     # SHARED-path fine-level taper (A/B lever, r4): the frame-shared FPN's
     # merge/fuse 3x3 convs at the finest (stride-4) level are the largest
     # single FLOP block of the decoder; 0 = full decoder_dim there,

@@ -329,6 +329,22 @@ class SharedFPNDecoder(nn.Module):
     #                            the finest level only (the stride-4
     #                            merge/fuse convs are the decoder's
     #                            largest FLOP block — r4 A/B lever)
+    # r5 lane-utilization levers (the step is neither FLOP- nor HBM-bound;
+    # utils/bytes_model.py r4 calibration). Defaults reproduce the shipped
+    # architecture exactly.
+    obj_merge_fine_k: int = 3  # merge-conv kernel at the finest PER-OBJECT
+    #                            level only (1 = pointwise; the 3x3 spatial
+    #                            context then comes from the out conv)
+    obj_fine_level: str = ""   # "" = fine_level. "c3": stop the per-object
+    #                            loop at stride 8 and recover stride-4
+    #                            detail from the SHARED fine-level features
+    #                            via a dynamic-mix head: a detail_dim-wide
+    #                            shared basis (full-lane conv at batch B)
+    #                            contracted with per-object mixing weights
+    #                            on the MXU — per-object stride-4 convs
+    #                            (obj_c2: 1.65 ms of the 8.8 ms p3/B=16
+    #                            step) disappear entirely.
+    detail_dim: int = 16       # basis width of the dynamic-mix detail head
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
@@ -403,15 +419,25 @@ class SharedFPNDecoder(nn.Module):
         if stop_at == "gru":
             return x, new_state
 
-        for level in levels:
+        obj_levels = levels
+        if self.obj_fine_level:
+            if self.obj_fine_level not in levels:
+                raise ValueError(
+                    f"obj_fine_level {self.obj_fine_level!r} not within "
+                    f"fine_level {self.fine_level!r}'s pyramid {levels}")
+            obj_levels = levels[:levels.index(self.obj_fine_level) + 1]
+        for level in obj_levels:
             g_l = g
-            if level == levels[-1] and self.obj_features_fine:
-                g_l = self.obj_features_fine
+            k_l = 3
+            if level == obj_levels[-1]:
+                if self.obj_features_fine:
+                    g_l = self.obj_features_fine
+                k_l = self.obj_merge_fine_k
             hw = proj[level].shape[-3:-1]
             x = _resize(x, hw)
             m_lvl = _resize_hw3(mask3, hw)[..., None]
             x = nn.relu(
-                _SplitConcatConv(g_l, dtype=self.dtype,
+                _SplitConcatConv(g_l, kernel=(k_l, k_l), dtype=self.dtype,
                                  name=f"obj_merge_{level}")(
                     [(x, False), (proj[level], True), (m_lvl, False)], B, M))
             if self.obj_fuse == "conv3":
@@ -424,6 +450,28 @@ class SharedFPNDecoder(nn.Module):
                 return x, new_state
 
         logits = nn.Conv(1, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="out")(x)[..., 0]               # (B*M, H/4, W/4)
+                         name="out")(x)[..., 0]         # (B*M, h_obj, w_obj)
+        if obj_levels is not levels:
+            # dynamic-mix detail head: the per-object path stopped above
+            # the finest shared level, so stride-fine detail comes from
+            # the SHARED fine features — a detail_dim-wide basis (conv at
+            # batch B, full MXU lanes) contracted with per-object mixing
+            # weights derived from the object's coarse features. The
+            # contraction is one (h*w, D) x (D, M) matmul per frame —
+            # full-lane MXU work in place of fractional-lane per-object
+            # stride-4 convs.
+            hw_f = proj[levels[-1]].shape[-3:-1]
+            logits = _resize_hw3(logits, hw_f)          # (B*M, h4, w4)
+            basis = nn.Conv(self.detail_dim, (3, 3), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="detail_basis")(
+                                shared[levels[-1]])     # (B, h4, w4, D)
+            pooled = x.mean(axis=(1, 2)).reshape(B, M, -1)
+            mix = nn.Dense(self.detail_dim, param_dtype=jnp.float32,
+                           dtype=jnp.float32, name="detail_mix")(
+                               pooled.astype(jnp.float32))   # (B, M, D)
+            detail = jnp.einsum("bhwd,bmd->bmhw", basis, mix,
+                                preferred_element_type=jnp.float32)
+            logits = (logits.reshape(B, M, *hw_f) + detail).reshape(
+                (B * M,) + hw_f)
         logits = _resize_hw3(logits, (H, W))   # channel-free: w in lanes
         return logits.reshape(B, M, H, W), new_state

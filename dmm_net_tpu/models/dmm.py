@@ -74,6 +74,9 @@ class DMMNet(nn.Module):
                 obj_features=cfg.model.decoder_obj_dim,
                 obj_fuse=cfg.model.decoder_obj_fuse,
                 obj_features_fine=cfg.model.decoder_obj_dim_fine,
+                obj_merge_fine_k=cfg.model.decoder_obj_merge_fine_k,
+                obj_fine_level=cfg.model.decoder_obj_fine_level,
+                detail_dim=cfg.model.decoder_detail_dim,
                 recurrent=cfg.model.decoder_recurrent,
                 dtype=dec_dtype,
                 fine_level=cfg.model.decoder_fine_level)

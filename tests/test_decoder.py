@@ -171,6 +171,52 @@ def test_obj_path_ab_variants(fuse, g_fine):
     assert ab < base, (fuse, g_fine, ab, base)
 
 
+@pytest.mark.parametrize("kw", [dict(obj_merge_fine_k=1),
+                                dict(obj_fine_level="c3"),
+                                dict(obj_fine_level="c3",
+                                     obj_merge_fine_k=1)])
+def test_obj_fine_levers_r5(kw):
+    """r5 lane-utilization levers: pointwise finest-level merge and the
+    stride-8 per-object cutoff with the shared-basis dynamic-mix detail
+    head. Well-formed finite outputs, fewer FLOPs than shipped, and the
+    DEFAULT knob values must leave the param tree and output bit-identical
+    to the pre-knob architecture (checkpoint compatibility)."""
+    B, M, H, W = 1, 8, 64, 64
+    feats = _pyramid(B, H, W)
+    agg = jnp.asarray(np.random.RandomState(0).rand(B, M, H, W), jnp.float32)
+
+    def run(dec):
+        vars_ = dec.init(jax.random.PRNGKey(0), feats, agg, None)
+        fn = jax.jit(lambda f, a: dec.apply(vars_, f, a, None))
+        cost = fn.lower(feats, agg).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        out, _ = fn(feats, agg)
+        assert out.shape == (B, M, H, W)
+        assert np.isfinite(np.asarray(out)).all()
+        return vars_, out, cost["flops"]
+
+    v0, out0, base = run(SharedFPNDecoder(features=32, obj_features=8))
+    _, _, ab = run(SharedFPNDecoder(features=32, obj_features=8, **kw))
+    assert ab < base, (kw, ab, base)
+    # explicit defaults == pre-knob architecture, bit for bit
+    v1, out1, _ = run(SharedFPNDecoder(features=32, obj_features=8,
+                                       obj_merge_fine_k=3,
+                                       obj_fine_level="", detail_dim=16))
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool((a == b).all()), v0, v1))
+    assert np.array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_obj_fine_level_invalid_rejected():
+    feats = _pyramid(1, 32, 32)
+    agg = jnp.zeros((1, 2, 32, 32), jnp.float32)
+    dec = SharedFPNDecoder(features=16, obj_features=8,
+                           fine_level="c3", obj_fine_level="c2")
+    with pytest.raises(ValueError, match="obj_fine_level"):
+        dec.init(jax.random.PRNGKey(0), feats, agg, None)
+
+
 def test_obj_fuse_unknown_rejected():
     feats = _pyramid(1, 32, 32)
     agg = jnp.zeros((1, 2, 32, 32), jnp.float32)

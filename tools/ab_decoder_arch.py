@@ -38,6 +38,15 @@ VARIANTS = {
     # the decoder's largest FLOP block)
     "conv1+taper": {"decoder_obj_fuse": "conv1",
                     "decoder_obj_dim_fine": "half"},
+    # r5 lane-utilization levers stacked on the production conv1+taper
+    # (bench fps at p3/B=16: conv1 2306.7, mergek1 2399.5, objc3 2757.9):
+    "mergek1": {"decoder_obj_fuse": "conv1", "decoder_obj_dim_fine": "half",
+                "decoder_obj_merge_fine_k": 1},
+    "objc3": {"decoder_obj_fuse": "conv1", "decoder_obj_dim_fine": "half",
+              "decoder_obj_fine_level": "c3"},
+    "objc3+k1": {"decoder_obj_fuse": "conv1", "decoder_obj_dim_fine": "half",
+                 "decoder_obj_fine_level": "c3",
+                 "decoder_obj_merge_fine_k": 1},
     "taper+shared_half": {"decoder_obj_fuse": "conv3",
                           "decoder_obj_dim_fine": "half",
                           "decoder_dim_fine": "half_f"},
