@@ -102,18 +102,27 @@ def main():
               ("(+)aggregate", agg), ("(+)decoder", decoder),
               ("(+)resolve = FULL", full)]
     if os.environ.get("BENCH_DECODER"):
-        # intra-decoder prefixes (models/decoder.py stop_at)
-        stages = [("(+)agg", agg),
-                  ("(+)dec.shared_c4", dec_prefix("shared_c4")),
-                  ("(+)dec.shared_c3", dec_prefix("shared_c3")),
-                  ("(+)dec.shared", dec_prefix("shared")),
-                  ("(+)dec.proj", dec_prefix("proj")),
-                  ("(+)dec.obj_head", dec_prefix("obj_head")),
-                  ("(+)dec.gru", dec_prefix("gru")),
-                  ("(+)dec.obj_c4", dec_prefix("obj_c4")),
-                  ("(+)dec.obj_c3", dec_prefix("obj_c3")),
-                  ("(+)dec.obj_c2", dec_prefix("obj_c2")),
-                  ("(+)dec.out = decoder", decoder)]
+        # intra-decoder prefixes (models/decoder.py stop_at). The obj
+        # stages follow the config's EFFECTIVE per-object pyramid — with
+        # decoder_obj_fine_level="c3" (r5 default) the loop stops at
+        # stride 8 and an "obj_c2" stop would silently fall through to
+        # the full decoder.
+        levels = ("c4", "c3", "c2")
+        levels = levels[:levels.index(cfg.model.decoder_fine_level) + 1]
+        obj_levels = levels
+        if cfg.model.decoder_obj_fine_level:
+            obj_levels = levels[
+                :levels.index(cfg.model.decoder_obj_fine_level) + 1]
+        stages = ([("(+)agg", agg)] +
+                  [(f"(+)dec.shared_{l}", dec_prefix(f"shared_{l}"))
+                   for l in levels[:-1]] +
+                  [("(+)dec.shared", dec_prefix("shared")),
+                   ("(+)dec.proj", dec_prefix("proj")),
+                   ("(+)dec.obj_head", dec_prefix("obj_head")),
+                   ("(+)dec.gru", dec_prefix("gru"))] +
+                  [(f"(+)dec.obj_{l}", dec_prefix(f"obj_{l}"))
+                   for l in obj_levels] +
+                  [("(+)dec.out = decoder", decoder)])
     prev = (0.0, 0.0, 0.0)
     for name, fn in stages:
         # Repeat the prefix INSIDE one jit (scan over perturbed inputs):

@@ -141,8 +141,15 @@ class ModelConfig:
     # and "c3" to stop the per-object loop at stride 8, recovering
     # stride-4 detail via the shared-basis dynamic-mix head (detail_dim
     # basis channels). Defaults = shipped architecture.
+    # obj_fine_level="c3" adopted r5: paired 2k-step A/B scored 0.8978 vs
+    # ""(stride-4 object path)'s 0.8982 — neutral, no per-seq collapse —
+    # at +19.6% bench fps (2757.9 vs 2306.7 at p3/B=16; the per-object
+    # stride-4 convs were 1.65 ms of the step at fractional MXU lanes).
+    # obj_merge_fine_k=1 REFUTED for quality (0.8899 alone, 0.8851
+    # stacked on c3): the pointwise merge loses ~0.01 J&F for +4% fps.
+    # Checkpoints embed their config, so older artifacts load unchanged.
     decoder_obj_merge_fine_k: int = 3
-    decoder_obj_fine_level: str = ""
+    decoder_obj_fine_level: str = "c3"
     decoder_detail_dim: int = 16
     # SHARED-path fine-level taper (A/B lever, r4): the frame-shared FPN's
     # merge/fuse 3x3 convs at the finest (stride-4) level are the largest
@@ -264,13 +271,33 @@ class Config:
         return detuple(dataclasses.asdict(self))
 
 
+# Architecture-affecting fields added AFTER checkpoints existed in the
+# wild, with the value that reproduces the PRE-field architecture. A
+# restored blob that predates a field must get the architecture it was
+# trained with — not the current default (which may have moved on; e.g.
+# decoder_obj_fine_level defaulted to "c3" in r5, but blobs saved before
+# the field existed were trained with the stride-4 per-object path, and
+# restoring them under "c3" crashes on the missing detail_basis params).
+# Maintain this map whenever an arch-affecting config field is added.
+_LEGACY_DEFAULTS = {
+    "decoder_obj_merge_fine_k": 3,
+    "decoder_obj_fine_level": "",
+    "decoder_detail_dim": 16,
+}
+
+
 def config_from_dict(d: dict) -> Config:
     """Inverse of Config.to_dict. Lists are coerced back to tuples (the
-    only tuple-typed fields are int pairs; no config field is a list)."""
+    only tuple-typed fields are int pairs; no config field is a list).
+    Fields missing from ``d`` (blobs saved before the field existed) take
+    their ``_LEGACY_DEFAULTS`` entry when one exists, so old checkpoints
+    keep the architecture they were trained with."""
     def build(cls, node):
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in node:
+                if f.name in _LEGACY_DEFAULTS:
+                    kwargs[f.name] = _LEGACY_DEFAULTS[f.name]
                 continue
             v = node[f.name]
             if f.default_factory is not dataclasses.MISSING and \

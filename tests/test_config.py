@@ -76,3 +76,26 @@ def test_bad_solver_and_decode_rejected():
         Config().override(**{"matching.solver": "hungarian"})
     with pytest.raises(ValueError, match="decode"):
         Config().override(**{"matching.decode": "sinkhorn"})
+
+
+def test_config_from_dict_legacy_architecture_defaults():
+    """A blob saved before an arch-affecting field existed must restore
+    to the architecture it was trained with, not the current default
+    (config._LEGACY_DEFAULTS). Regression: the r5 decoder_obj_fine_level
+    default moved to "c3"; restoring a pre-field blob under "c3" crashed
+    infer.py on missing detail_basis params (the committed fallback
+    artifact hit exactly this)."""
+    from dmm_net_tpu.config import config_from_dict
+
+    d = Config(name="x").to_dict()
+    # simulate a blob written before the r5 fields existed
+    for k in ("decoder_obj_fine_level", "decoder_obj_merge_fine_k",
+              "decoder_detail_dim"):
+        del d["model"][k]
+    cfg = config_from_dict(d)
+    assert cfg.model.decoder_obj_fine_level == ""      # legacy, not "c3"
+    assert cfg.model.decoder_obj_merge_fine_k == 3
+    assert cfg.model.decoder_detail_dim == 16
+    # present keys still win over legacy defaults
+    d["model"]["decoder_obj_fine_level"] = "c3"
+    assert config_from_dict(d).model.decoder_obj_fine_level == "c3"
