@@ -121,13 +121,26 @@ def chunk_step_bytes(cfg, B: int) -> Dict:
             d += a * f * dd * (3 * 2)
             d += a * g * dd * 2                          # 1x1 proj to g
             dw += f * f * 9 * 2 + f * f + f * g
-        # per-object path at g (g_fine at the finest level), batch B*M
-        for k, lvl_s in enumerate((32, 16, 8, 4)):
-            gl = g_fine if lvl_s == 4 else g
+        # per-object path at g (g_fine at the finest level), batch B*M.
+        # With decoder_obj_fine_level="c3" (r5 default) the loop stops at
+        # stride 8; stride-4 detail comes from the dynamic-mix head.
+        obj_fine_s = {"": 4, "c2": 4, "c3": 8, "c4": 16}[
+            cfg.model.decoder_obj_fine_level]
+        obj_strides = [s for s in (32, 16, 8, 4) if s >= obj_fine_s]
+        for lvl_s in obj_strides:
+            gl = g_fine if lvl_s == obj_fine_s else g
             a = area(lvl_s)
             # merge conv out + fuse conv out (write+read each) + mask read
             d += M * a * (gl * dd * 4 + md)
             dw += 9 * gl * (2 * g + 1) + 9 * gl * gl
+        if obj_fine_s != 4:
+            # dynamic-mix detail head: basis conv at stride 4 (batch B,
+            # write+read), per-object stride-8 logits upsampled to /4
+            # (read+write), detail einsum reads the basis per frame
+            D = cfg.model.decoder_detail_dim
+            a4, a8 = area(4), area(obj_fine_s)
+            d += a4 * D * dd * 3 + M * a8 * 4 + M * a4 * 4
+            dw += 9 * f * D + g_fine * D
         # ConvGRU at /32: 3 convs on concat(x, h) -> g
         d += M * area(32) * g * dd * 8
         dw += 3 * 9 * (2 * g) * g
