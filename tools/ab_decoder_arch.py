@@ -47,6 +47,18 @@ VARIANTS = {
     "objc3+k1": {"decoder_obj_fuse": "conv1", "decoder_obj_dim_fine": "half",
                  "decoder_obj_fine_level": "c3",
                  "decoder_obj_merge_fine_k": 1},
+    # shared stride-4 taper stacked on the adopted objc3 production
+    # (bench 2793.6 vs 2755.9, +1.4%)
+    "objc3+shared_half": {"decoder_obj_fuse": "conv1",
+                          "decoder_obj_dim_fine": "half",
+                          "decoder_obj_fine_level": "c3",
+                          "decoder_dim_fine": "half_f"},
+    # wider dynamic-mix basis: bench-neutral (2750.1 vs 2755.9), so any
+    # quality gain would be free
+    "objc3+detail32": {"decoder_obj_fuse": "conv1",
+                       "decoder_obj_dim_fine": "half",
+                       "decoder_obj_fine_level": "c3",
+                       "decoder_detail_dim": 32},
     "taper+shared_half": {"decoder_obj_fuse": "conv3",
                           "decoder_obj_dim_fine": "half",
                           "decoder_dim_fine": "half_f"},
