@@ -352,3 +352,28 @@ def test_create_train_state_mesh_places_replicated(devices):
     step = make_train_step(cfg, mesh=mesh)
     state2, metrics = step(state, shard_batch(batch, mesh))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_on_nontrivial_model_axis(devices):
+    """SURVEY §3.3's TP row promises the layers stay shard_map/pjit
+    compatible so a model axis can be added later. Executable evidence:
+    the SAME train step runs on a (data=4, model=2) mesh — params
+    replicated over "model" by the declared shardings, batch sharded
+    over "data" — and produces the single-device loss."""
+    cfg = _cfg()
+    batch = {k: np.asarray(v) for k, v in synthetic_clip_batch(
+        seed=11, batch=4, T=2, H=64, W=64, num_objects=2,
+        num_proposals=cfg.matching.max_proposals,
+        pad_objects=cfg.matching.max_templates).items()}
+    mesh = make_mesh(data=4, model=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch, mesh=mesh)
+    step = make_train_step(cfg, mesh=mesh)
+    _, metrics = step(state, shard_batch(batch, mesh))
+    loss_tp = float(metrics["loss"])
+
+    state1 = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step1 = make_train_step(cfg)
+    _, metrics1 = step1(state1, {k: jnp.asarray(v)
+                                 for k, v in batch.items()})
+    np.testing.assert_allclose(loss_tp, float(metrics1["loss"]),
+                               rtol=2e-5)
