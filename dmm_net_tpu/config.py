@@ -151,6 +151,13 @@ class ModelConfig:
     decoder_obj_merge_fine_k: int = 3
     decoder_obj_fine_level: str = "c3"
     decoder_detail_dim: int = 16
+    # basis_k=1 adopted r5: the 3x3 basis conv was the step's single
+    # largest op (per-op xplane profile, 0.47 ms/frame-batch, input-read
+    # bound at 16 cout); pointwise scored 0.8991 vs 0.8978 paired J&F
+    # (the shared c2 features behind it already carry two 3x3 convs of
+    # spatial context) at +4.5% bench fps (2880.9). Old blobs restore
+    # with 3 via _LEGACY_DEFAULTS.
+    decoder_detail_basis_k: int = 1
     # SHARED-path fine-level taper (A/B lever, r4): the frame-shared FPN's
     # merge/fuse 3x3 convs at the finest (stride-4) level are the largest
     # single FLOP block of the decoder; 0 = full decoder_dim there,
@@ -283,6 +290,7 @@ _LEGACY_DEFAULTS = {
     "decoder_obj_merge_fine_k": 3,
     "decoder_obj_fine_level": "",
     "decoder_detail_dim": 16,
+    "decoder_detail_basis_k": 3,
 }
 
 

@@ -345,6 +345,10 @@ class SharedFPNDecoder(nn.Module):
     #                            (obj_c2: 1.65 ms of the 8.8 ms p3/B=16
     #                            step) disappear entirely.
     detail_dim: int = 16       # basis width of the dynamic-mix detail head
+    detail_basis_k: int = 3    # basis conv kernel (per-op profile r5: the
+    #                            3x3 128->16 basis conv is the step's
+    #                            single largest op, 0.47 ms/frame-batch,
+    #                            input-read bound; 1 = pointwise probe)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], agg_masks: jnp.ndarray,
@@ -462,7 +466,8 @@ class SharedFPNDecoder(nn.Module):
             # stride-4 convs.
             hw_f = proj[levels[-1]].shape[-3:-1]
             logits = _resize_hw3(logits, hw_f)          # (B*M, h4, w4)
-            basis = nn.Conv(self.detail_dim, (3, 3), dtype=self.dtype,
+            kb = self.detail_basis_k
+            basis = nn.Conv(self.detail_dim, (kb, kb), dtype=self.dtype,
                             param_dtype=jnp.float32, name="detail_basis")(
                                 shared[levels[-1]])     # (B, h4, w4, D)
             pooled = x.mean(axis=(1, 2)).reshape(B, M, -1)

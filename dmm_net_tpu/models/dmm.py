@@ -77,6 +77,7 @@ class DMMNet(nn.Module):
                 obj_merge_fine_k=cfg.model.decoder_obj_merge_fine_k,
                 obj_fine_level=cfg.model.decoder_obj_fine_level,
                 detail_dim=cfg.model.decoder_detail_dim,
+                detail_basis_k=cfg.model.decoder_detail_basis_k,
                 recurrent=cfg.model.decoder_recurrent,
                 dtype=dec_dtype,
                 fine_level=cfg.model.decoder_fine_level)

@@ -90,12 +90,13 @@ def test_config_from_dict_legacy_architecture_defaults():
     d = Config(name="x").to_dict()
     # simulate a blob written before the r5 fields existed
     for k in ("decoder_obj_fine_level", "decoder_obj_merge_fine_k",
-              "decoder_detail_dim"):
+              "decoder_detail_dim", "decoder_detail_basis_k"):
         del d["model"][k]
     cfg = config_from_dict(d)
     assert cfg.model.decoder_obj_fine_level == ""      # legacy, not "c3"
     assert cfg.model.decoder_obj_merge_fine_k == 3
     assert cfg.model.decoder_detail_dim == 16
+    assert cfg.model.decoder_detail_basis_k == 3       # legacy, not 1
     # present keys still win over legacy defaults
     d["model"]["decoder_obj_fine_level"] = "c3"
     assert config_from_dict(d).model.decoder_obj_fine_level == "c3"

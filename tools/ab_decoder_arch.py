@@ -59,6 +59,12 @@ VARIANTS = {
                        "decoder_obj_dim_fine": "half",
                        "decoder_obj_fine_level": "c3",
                        "decoder_detail_dim": 32},
+    # pointwise basis conv (per-op profile: the 3x3 basis conv is the
+    # step's largest single op; bench 2880.9 vs 2755.9, +4.5%)
+    "objc3+basisk1": {"decoder_obj_fuse": "conv1",
+                      "decoder_obj_dim_fine": "half",
+                      "decoder_obj_fine_level": "c3",
+                      "decoder_detail_basis_k": 1},
     "taper+shared_half": {"decoder_obj_fuse": "conv3",
                           "decoder_obj_dim_fine": "half",
                           "decoder_dim_fine": "half_f"},
